@@ -1,0 +1,257 @@
+"""Stage-wise DOCP program abstraction.
+
+The TPU-native analog of ``Hqp_Docp`` (hqp/Hqp_Docp.{h,C}): a user defines a
+discrete-time optimal control problem by per-stage functions
+
+    f(k, x_k, u_k)  -> x_{k+1}        (state transition, k = 0..K-1)
+    f0(k, x_k, u_k) -> scalar         (stage cost, summed over k = 0..K)
+    c(k, x_k, u_k)  -> R^mc           (general constraints)
+
+plus bound arrays.  Where the reference hand-codes derivatives or tapes with
+ADOL-C (hqp/Hqp_DocpAdol.C, omu/Omu_Program.C:388-519) and evaluates stages
+under OpenMP (hqp/Hqp_Docp.C:837,955), here derivatives come from
+``jax.jacobian``/``jax.grad``/``jax.hessian`` and all stages evaluate batched
+under ``vmap`` -- the stage axis is the data-parallel axis on device.
+
+The stage functions must be written with ``jnp`` ops and be vectorizable
+over the traced stage index ``k`` (use ``jnp.where(k < K, ..., ...)`` for
+stage-dependent behaviour).  Variable bounds (including fixed initial/final
+states, the reference's min == max convention, e.g. hqp_docp/Prg_DID.C:51-63)
+are box constraints handled by the interior point's barrier.
+
+Assembled QP form: see :class:`hqp_tpu.qp.program.StageQP`; the per-stage
+variable is v_k = (x_k, u_k) with u padded (fixed to 0) at stage K.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hqp_tpu.qp.program import StageQP
+from hqp_tpu.utils.registry import modules
+
+
+class Docp:
+    """Base class for stage-structured programs.  Subclass and override
+    the dims, bounds and stage functions."""
+
+    K: int = 0
+    nx: int = 0
+    nu: int = 0
+    mc: int = 0
+
+    name = "Docp"
+
+    # ---- user interface (override) ----------------------------------------
+
+    def setup_vars(self):
+        """Return a dict with optional keys:
+        x_init [K1, nx], u_init [K, nu],
+        x_min/x_max [K1, nx], u_min/u_max [K, nu],
+        c_min/c_max [K1, mc].
+        Missing bounds default to +-inf, missing inits to zero."""
+        return {}
+
+    def f(self, k, x, u):
+        raise NotImplementedError
+
+    def f0(self, k, x, u):
+        return jnp.asarray(0.0)
+
+    def c(self, k, x, u):
+        return jnp.zeros((0,))
+
+    # ---- assembled views ---------------------------------------------------
+
+    @property
+    def nv(self):
+        return self.nx + self.nu
+
+    def setup(self):
+        """Build initial iterate, bounds and the QP skeleton (static data).
+
+        Analog of Hqp_Docp::setup + setup_qp (hqp/Hqp_Docp.C:400-758), but
+        the block structure is explicit instead of assembled into sparse
+        matrices.
+        """
+        K, K1, nx, nu, nv, mc = (self.K, self.K + 1, self.nx, self.nu,
+                                 self.nv, self.mc)
+        v = self.setup_vars()
+        inf = jnp.inf
+
+        def get(key, shape, default):
+            a = v.get(key)
+            if a is None:
+                return jnp.full(shape, default, jnp.float64)
+            return jnp.asarray(a, jnp.float64).reshape(shape)
+
+        x_init = get("x_init", (K1, nx), 0.0)
+        u_init = get("u_init", (K, nu), 0.0)
+        x_min = get("x_min", (K1, nx), -inf)
+        x_max = get("x_max", (K1, nx), inf)
+        u_min = get("u_min", (K, nu), -inf)
+        u_max = get("u_max", (K, nu), inf)
+        c_min = get("c_min", (K1, mc), -inf)
+        c_max = get("c_max", (K1, mc), inf)
+
+        # per-stage variable v_k = (x_k, u_k); u padded to 0 at stage K
+        var_mask = jnp.concatenate(
+            [jnp.ones((K1, nx), bool),
+             jnp.concatenate([jnp.ones((K, nu), bool),
+                              jnp.zeros((1, nu), bool)])], axis=1)
+        lb = jnp.concatenate(
+            [x_min, jnp.concatenate([u_min, jnp.zeros((1, nu))])], axis=1)
+        ub = jnp.concatenate(
+            [x_max, jnp.concatenate([u_max, jnp.zeros((1, nu))])], axis=1)
+        x0 = jnp.concatenate(
+            [x_init, jnp.concatenate([u_init, jnp.zeros((1, nu))])], axis=1)
+        # clip the initial iterate into its bounds where finite
+        x0 = jnp.clip(x0, jnp.where(jnp.isfinite(lb), lb, -inf),
+                      jnp.where(jnp.isfinite(ub), ub, inf))
+
+        con_mask = jnp.isfinite(c_min) | jnp.isfinite(c_max)
+
+        self._bounds = (lb, ub, c_min, c_max, var_mask, con_mask)
+        return x0
+
+    # vectorized stage evaluations ------------------------------------------
+
+    def _stage_fns(self):
+        K, K1, nx, nu = self.K, self.K + 1, self.nx, self.nu
+
+        def split(v):
+            return v[:nx], v[nx:]
+
+        def f_v(k, v):
+            x, u = split(v)
+            return self.f(k, x, u)
+
+        def f0_v(k, v):
+            x, u = split(v)
+            return self.f0(k, x, u)
+
+        def c_v(k, v):
+            x, u = split(v)
+            return jnp.atleast_1d(self.c(k, x, u))
+
+        return f_v, f0_v, c_v
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_vals(self, v):
+        """Values only: objective, dynamics residual, constraint values.
+        Analog of Hqp_Docp::update_fbd (hqp/Hqp_Docp.C:831-892)."""
+        K, K1, nx = self.K, self.K + 1, self.nx
+        f_v, f0_v, c_v = self._stage_fns()
+        ks = jnp.arange(K)
+        ks1 = jnp.arange(K1)
+        fvals = jax.vmap(f_v)(ks, v[:-1])
+        b = fvals - v[1:, :nx]
+        f0s = jax.vmap(f0_v)(ks1, v)
+        cvals = jax.vmap(c_v)(ks1, v)
+        return jnp.sum(f0s), b, cvals
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_derivs(self, v):
+        """Jacobians: A = [fx fu], c gradient, C = dcdv.
+        Analog of Hqp_Docp::update/update_grds (hqp/Hqp_Docp.C:944-1193),
+        with jax.jacobian replacing finite differences / ADOL-C."""
+        K, K1 = self.K, self.K + 1
+        f_v, f0_v, c_v = self._stage_fns()
+        A = jax.vmap(jax.jacobian(f_v, argnums=1))(jnp.arange(K), v[:-1])
+        cgrad = jax.vmap(jax.grad(f0_v, argnums=1))(jnp.arange(K1), v)
+        C = jax.vmap(jax.jacobian(c_v, argnums=1))(jnp.arange(K1), v)
+        return A, cgrad, C
+
+    # program protocol consumed by the SQP solver ---------------------------
+
+    def make_qp(self, v, Q=None):
+        """Assemble the StageQP linearization at iterate v."""
+        lb, ub, c_min, c_max, var_mask, con_mask = self._bounds
+        f, b, cvals = self.eval_vals(v)
+        A, cgrad, C = self.eval_derivs(v)
+        if Q is None:
+            Q = jnp.zeros((self.K + 1, self.nv, self.nv))
+        qp = StageQP(
+            Q=Q, c=cgrad, A=A, b=b,
+            lb=lb - v, ub=ub - v,
+            C=C, d_lo=c_min - cvals, d_up=c_max - cvals,
+            var_mask=var_mask, con_mask=con_mask,
+        )
+        return f, qp
+
+    @partial(jax.jit, static_argnums=0)
+    def update_fbd_qp(self, qp: StageQP, v_old, v_new):
+        """Re-evaluate only values at v_new, keeping derivatives of qp.
+        Analog of Hqp_SqpProgram::update_fbd for line search."""
+        lb, ub, c_min, c_max, var_mask, con_mask = self._bounds
+        f, b, cvals = self.eval_vals(v_new)
+        qp = dataclasses.replace(
+            qp, b=b, lb=lb - v_new, ub=ub - v_new,
+            d_lo=c_min - cvals, d_up=c_max - cvals)
+        return f, qp
+
+    @partial(jax.jit, static_argnums=0)
+    def eval_grd_L(self, v, y, z):
+        """grad of Lagrangian = c - A'y - C'z at iterate v
+        (hqp/Hqp_SqpSolver.C:430-445), with z an IneqGroups pytree."""
+        A, cgrad, C = self.eval_derivs(v)
+        lb, ub, c_min, c_max, var_mask, con_mask = self._bounds
+        # adjoint of dynamics
+        out = jnp.zeros_like(v)
+        out = out.at[:-1].add(jnp.einsum("kij,ki->kj", A, y))
+        out = out.at[1:, :self.nx].add(-y)
+        zg = z.gl - z.gu
+        out = out + (z.bl - z.bu) + jnp.einsum("kij,ki->kj", C, zg)
+        return cgrad - out
+
+    def eval_hess_blocks(self, v, y, z):
+        """Exact per-stage Lagrangian Hessian blocks [K1, nv, nv]
+        (for the Gerschgorin hela; role of Omu linearity analysis)."""
+        f_v, f0_v, c_v = self._stage_fns()
+        K, K1, nx = self.K, self.K + 1, self.nx
+        ypad = jnp.concatenate([y, jnp.zeros((1, self.nx))])
+        kk = jnp.arange(K1)
+        zg = z.gl - z.gu
+
+        def lag(k, vk, yk, zk):
+            val = f0_v(k, vk)
+            val = val - jnp.where(k < K, yk @ f_v(jnp.minimum(k, K - 1), vk),
+                                  0.0)
+            val = val - zk @ c_v(k, vk)
+            return val
+
+        H = jax.vmap(jax.hessian(lag, argnums=1))(kk, v, ypad, zg)
+        return H
+
+    def split_blocks(self, vec):
+        """Map a variable-space vector to the BFGS block partition
+        ([K1, nv] is already the per-stage block layout)."""
+        return vec
+
+    def q_to_blocks(self, Q):
+        """The stage Hessian [K1, nv, nv] is already block form."""
+        return Q
+
+    def q_from_blocks(self, Qb):
+        return Qb
+
+    def simulate(self, v):
+        """Initial-value rollout from x_0 with the given controls
+        (Hqp_Docp::simulate, hqp/Hqp_Docp.C:793-830)."""
+        nx = self.nx
+        f_v, _, _ = self._stage_fns()
+
+        def stepk(x, inp):
+            k, vk = inp
+            vk = vk.at[:nx].set(x)
+            xn = f_v(k, vk)
+            return xn, vk
+
+        xK, vs = jax.lax.scan(stepk, v[0, :nx],
+                              (jnp.arange(self.K), v[:-1]))
+        vK = v[-1].at[:nx].set(xK)
+        return jnp.concatenate([vs, vK[None]], axis=0)

@@ -1,0 +1,294 @@
+"""Exchangeable KKT backends for the interior-point solver.
+
+The reference factors the per-IP-iteration KKT system
+
+    | -Q  A'  C'  0 | |dx|   |r1|
+    |  A  0   0   0 | |dy|   |r2|
+    |  C  0   0  -I | |dz| = |r3|
+    |  0  0   W   Z | |dw|   |r4|
+
+through exchangeable ``Hqp_IpMatrix`` subclasses (hqp/Hqp_IpMatrix.h:42-89).
+All backends here use the same reduction (as hqp/Hqp_IpRedSpBKP.C): eliminate
+(dz, dw) to get the saddle system
+
+    [-H  A'] [dx]   [r1 - C'(W^-1 Z r3 + W^-1 r4)]
+    [ A  0 ] [dy] = [r2]                     with  H = Q + C' W^-1 Z C,
+
+then recover dz = W^-1 Z (r3 - C dx) + W^-1 r4  and  dw = C dx - r3.
+
+Backends:
+
+* :class:`RiccatiKKT` -- the structured DOCP path (Hqp_IpLQDOCP analog,
+  hqp/Hqp_IpLQDOCP.C:1328 ExRiccatiFactor/Solve).  Instead of a sparse
+  backward recursion with generalized elimination and BKP pivoting, this is a
+  ``lax.scan`` over stage blocks with Cholesky factorization of the
+  projected control Hessian Guu -- pivot-free by design, justified by the
+  reference's own iterative-refinement layering (hqp/Hqp_IpMatrix.C) and the
+  positive-definiteness guaranteed by the BFGS + barrier terms.
+* :class:`DenseKKT` -- dense reduced saddle system by LU (the role of the
+  default Hqp_IpRedSpBKP, hqp/Hqp_IpRedSpBKP.C:281, for general NLPs).
+* :class:`FullStageKKT` -- lowers a StageQP to the dense saddle system; the
+  verification oracle for RiccatiKKT (role of the dormant full-matrix
+  variants, hqp/Hqp_IpFullSpLU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, lu_factor, lu_solve
+
+from hqp_tpu.utils import masked as mk
+from hqp_tpu.utils.registry import modules
+from hqp_tpu.qp.program import StageQP, DenseQP, IneqGroups
+
+
+# ---------------------------------------------------------------------------
+# shared reduction helpers (group-generic over the qp's inequality pytree)
+# ---------------------------------------------------------------------------
+
+def barrier_ratios(z, w, mask):
+    """sigma = z/w per inequality group, zero where masked."""
+    return mk.tmap(lambda zi, wi, m: jnp.where(m, zi / wi, 0.0), z, w, mask)
+
+
+def reduce_r1(qp, z, w, mask, r1, r3, r4):
+    """r1_eff = r1 - C'(W^-1 Z r3 + W^-1 r4)."""
+    t = mk.tmap(
+        lambda zi, wi, r3i, r4i, m: jnp.where(m, (zi * r3i + r4i) / wi, 0.0),
+        z, w, r3, r4, mask,
+    )
+    return r1 - qp.matvec_ineqT(t)
+
+
+def recover_zw(qp, z, w, mask, dx, r3, r4):
+    """dz = W^-1 Z (r3 - C dx) + W^-1 r4,  dw = C dx - r3."""
+    Cdx = qp.matvec_ineq(dx)
+    dz = mk.tmap(
+        lambda zi, wi, r3i, r4i, ci, m: jnp.where(
+            m, (zi * (r3i - ci) + r4i) / wi, 0.0
+        ),
+        z, w, r3, r4, Cdx, mask,
+    )
+    dw = mk.tmap(
+        lambda ci, r3i, m: jnp.where(m, ci - r3i, 0.0), Cdx, r3, mask
+    )
+    return dz, dw
+
+
+# ---------------------------------------------------------------------------
+# Riccati backend (structured DOCP path)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RiccatiFactors:
+    Luu: jnp.ndarray     # [K, nu, nu] Cholesky factors of Guu_k
+    Gux: jnp.ndarray     # [K, nu, nx]
+    Kgain: jnp.ndarray   # [K, nu, nx] Guu^-1 Gux
+    P: jnp.ndarray       # [K1, nx, nx] cost-to-go Hessians (P_0..P_K)
+    LP0: jnp.ndarray     # [nx, nx] Cholesky factor of P_0
+    LuuK: jnp.ndarray    # [nu, nu] Cholesky of the terminal u-block
+    KgainK: jnp.ndarray  # [nu, nx] HuuK^-1 HuxK
+
+
+def _stage_hessians(qp: StageQP, z: IneqGroups, w: IneqGroups,
+                    mask: IneqGroups) -> jnp.ndarray:
+    """H_k = Q_k + diag(box barrier) + C_k' Sigma C_k, shape [K1, nv, nv].
+
+    Box bounds enter as pure diagonal terms -- the TPU-native replacement of
+    the reference's sparse +-e_i constraint rows (hqp/Hqp_Docp.C:585-758)
+    flowing through sub_CTC (hqp/Hqp_IpRedSpBKP.C:297).
+    """
+    sig = barrier_ratios(z, w, mask)
+    diag_box = sig.bl + sig.bu                       # [K1, nv]
+    sgen = sig.gl + sig.gu                           # [K1, mc]
+    H = qp.Q + jnp.einsum("kim,km,kjm->kij",
+                          jnp.swapaxes(qp.C, 1, 2), sgen,
+                          jnp.swapaxes(qp.C, 1, 2))
+    H = H + jnp.einsum("ki,ij->kij", diag_box, jnp.eye(qp.nv))
+    return H
+
+
+class RiccatiKKT:
+    """Backward Riccati factorization of the reduced stage-structured KKT.
+
+    Cites: hqp/Hqp_IpLQDOCP.C:796-862 (factor), :1328-1600 (ExRiccatiFactor),
+    :1601-1788 (ExRiccatiSolve).  The TPU redesign replaces active-set
+    splitting + GE_QP elimination + BKP pivoting by the pure barrier path
+    (the reference's own `_wz_tol == inf` scaled variant, C:850-853) with
+    Cholesky of Guu, and runs as a `lax.scan` over [K, n, n] HBM blocks.
+    """
+
+    def __init__(self, reg: float = 0.0):
+        self.reg = reg
+
+    def factor(self, qp: StageQP, z, w, mask):
+        H = _stage_hessians(qp, z, w, mask)
+        nx, nu, nv = qp.nx, qp.nu, qp.nv
+        eyeu = self.reg * jnp.eye(nu)
+        # terminal stage: eliminate the (padded) u-block by Schur complement
+        HK = H[-1]
+        LuuK = jnp.linalg.cholesky(HK[nx:, nx:] + eyeu)
+        KgainK = cho_solve((LuuK, True), HK[nx:, :nx])
+        PK = HK[:nx, :nx] - HK[:nx, nx:] @ KgainK
+        PK = 0.5 * (PK + PK.T)
+
+        def bwd(P, inp):
+            Hk, Ak = inp
+            PA = P @ Ak                                   # [nx, nv]
+            G = Hk + Ak.T @ PA
+            Gxx = G[:nx, :nx]
+            Gux = G[nx:, :nx]
+            Guu = G[nx:, nx:] + eyeu
+            Luu = jnp.linalg.cholesky(Guu)
+            Kg = cho_solve((Luu, True), Gux)              # [nu, nx]
+            Pk = Gxx - Gux.T @ Kg
+            Pk = 0.5 * (Pk + Pk.T)
+            return Pk, (Luu, Gux, Kg, P)
+
+        P0, (Luu_r, Gux_r, Kg_r, Pnext_r) = jax.lax.scan(
+            bwd, PK, (H[:-1][::-1], qp.A[::-1])
+        )
+        Luu, Gux, Kg = Luu_r[::-1], Gux_r[::-1], Kg_r[::-1]
+        P = jnp.concatenate([P0[None], Pnext_r[::-1]], axis=0)  # P_0..P_K
+        LP0 = jnp.linalg.cholesky(P0)
+        return RiccatiFactors(Luu=Luu, Gux=Gux, Kgain=Kg, P=P, LP0=LP0,
+                              LuuK=LuuK, KgainK=KgainK)
+
+    def solve_reduced(self, fac: RiccatiFactors, qp: StageQP, g, r2):
+        """Solve  H dx - A' dy = -g,  A_k v_k - dx_{k+1} = r2_k."""
+        nx = qp.nx
+        gx, gu = g[:, :nx], g[:, nx:]
+        Ax, Au = qp.A[:, :, :nx], qp.A[:, :, nx:]
+
+        # backward sweep for the linear cost-to-go p_k and feedforward bu_k
+        def bwd(p, inp):
+            Luu, Gux, Pn, Axk, Auk, r2k, gxk, guk = inp
+            t = p - Pn @ r2k
+            bu = cho_solve((Luu, True), -(guk + Auk.T @ t))
+            pk = gxk + Axk.T @ t + Gux.T @ bu
+            return pk, (bu, p)
+
+        pK = gx[-1] - fac.KgainK.T @ gu[-1]
+        p0, (bu_r, pnext_r) = jax.lax.scan(
+            bwd, pK,
+            (fac.Luu[::-1], fac.Gux[::-1], fac.P[1:][::-1],
+             Ax[::-1], Au[::-1], r2[::-1], gx[:-1][::-1], gu[:-1][::-1]),
+        )
+        bu, pnext = bu_r[::-1], pnext_r[::-1]
+
+        dx0 = cho_solve((fac.LP0, True), -p0)
+
+        # forward sweep: controls, states, dynamics multipliers.
+        # The recursion's costate is the negative of the saddle system's dy
+        # ( -H dx + A' dy = r1_eff ), hence the sign flip on y.
+        def fwd(dxk, inp):
+            Kg, buk, Pn, pn, Ak, r2k = inp
+            du = buk - Kg @ dxk
+            v = jnp.concatenate([dxk, du])
+            dxn = Ak @ v - r2k
+            y = -(Pn @ dxn + pn)
+            return dxn, (v, y)
+
+        dxK, (v, dy) = jax.lax.scan(
+            fwd, dx0, (fac.Kgain, bu, fac.P[1:], pnext, qp.A, r2)
+        )
+        duK = -(cho_solve((fac.LuuK, True), gu[-1]) + fac.KgainK @ dxK)
+        vK = jnp.concatenate([dxK, duK])[None]
+        dx = jnp.concatenate([v, vK], axis=0)
+        return dx, dy
+
+    def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
+        g = reduce_r1(qp, z, w, mask, r1, r3, r4)
+        dx, dy = self.solve_reduced(fac, qp, g, r2)
+        dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)
+        return dx, dy, dz, dw
+
+
+modules.register("qp_mat_solver", "LQDOCP")(RiccatiKKT)
+
+
+# ---------------------------------------------------------------------------
+# dense backends
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DenseFactors:
+    lu: jnp.ndarray
+    piv: jnp.ndarray
+
+
+def _saddle_factor(H, A, eq_mask):
+    """LU-factor [[-H, A'], [A, 0]] with masked eq rows replaced by identity."""
+    n, me = H.shape[0], A.shape[0]
+    Am = A * eq_mask[:, None]
+    Z = jnp.diag(jnp.where(eq_mask, 0.0, 1.0))
+    J = jnp.block([[-H, Am.T], [Am, Z]])
+    lu, piv = lu_factor(J)
+    return DenseFactors(lu=lu, piv=piv)
+
+
+def _saddle_solve(fac: DenseFactors, n, r1_eff, r2):
+    rhs = jnp.concatenate([r1_eff, r2])
+    sol = lu_solve((fac.lu, fac.piv), rhs)
+    return sol[:n], sol[n:]
+
+
+class DenseKKT:
+    """Dense reduced-system backend for :class:`DenseQP`.
+
+    Role of the reference default Hqp_IpRedSpBKP (hqp/Hqp_IpRedSpBKP.C:
+    eliminate (z,w), factor J = [-(Q + C'W^-1Z C), A'; A, 0]); here a dense
+    LU replaces sparse RCM + BKP, appropriate for moderate n on the MXU.
+    """
+
+    def factor(self, qp: DenseQP, z, w, mask):
+        sig = barrier_ratios(z, w, mask)
+        H = qp.Q + (qp.C.T * sig.g) @ qp.C
+        return _saddle_factor(H, qp.A, qp.eq_mask_)
+
+    def solve(self, fac, qp: DenseQP, z, w, mask, r1, r2, r3, r4):
+        g = reduce_r1(qp, z, w, mask, r1, r3, r4)
+        # saddle system is [-H, A'; A, 0][dx; dy] = [g; r2]
+        r2m = jnp.where(qp.eq_mask_, r2, 0.0)
+        dx, dy = _saddle_solve(fac, qp.n, g, r2m)
+        dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)
+        return dx, dy, dz, dw
+
+
+modules.register("qp_mat_solver", "RedSpBKP")(DenseKKT)
+
+
+class FullStageKKT:
+    """Verification backend: lowers a StageQP to one dense saddle system."""
+
+    def factor(self, qp: StageQP, z, w, mask):
+        Hb = _stage_hessians(qp, z, w, mask)      # [K1, nv, nv]
+        K1, nv = Hb.shape[0], Hb.shape[1]
+        K, nx = qp.K, qp.nx
+        n = K1 * nv
+        H = jnp.zeros((n, n))
+        for k in range(K1):
+            H = H.at[k * nv:(k + 1) * nv, k * nv:(k + 1) * nv].set(Hb[k])
+        A = jnp.zeros((K * nx, n))
+        for k in range(K):
+            A = A.at[k * nx:(k + 1) * nx, k * nv:(k + 1) * nv].set(qp.A[k])
+            A = A.at[k * nx:(k + 1) * nx,
+                     (k + 1) * nv:(k + 1) * nv + nx].set(-jnp.eye(nx))
+        return _saddle_factor(H, A, jnp.ones(K * nx, dtype=bool))
+
+    def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
+        g = reduce_r1(qp, z, w, mask, r1, r3, r4)
+        n = (qp.K + 1) * qp.nv
+        dxf, dyf = _saddle_solve(fac, n, g.reshape(-1), r2.reshape(-1))
+        dx = dxf.reshape(qp.K + 1, qp.nv)
+        dy = dyf.reshape(qp.K, qp.nx)
+        dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)
+        return dx, dy, dz, dw
+
+
+modules.register("qp_mat_solver", "FullKKT")(FullStageKKT)

@@ -1,0 +1,397 @@
+"""Mehrotra predictor-corrector interior-point QP solver.
+
+TPU-native re-implementation of the reference's primal-dual predictor-
+corrector (hqp/Hqp_IpsMehrotra.C; refs: Mehrotra SIOPT 1992, Wright 1997,
+PCx, and the Salahi/Peng/Terlaky modification).  The algorithmic heuristics
+are kept faithfully:
+
+* cold start with unit (z, w) + Mehrotra's initial-point shift
+  (Hqp_IpsMehrotra.C:209-327, four ``qp_init_method`` variants),
+* relative KKT test phi = (||r||_inf + |gap|) / ||data||  (C:455-465),
+* infeasibility / slow-progress / blow-up aborts (C:487-519),
+* affine predictor + Terlaky centering sigma (C:576-623, ``mod_terlaky``),
+* Mehrotra's adaptive step length with gamma_f = 0.01 (C:625-669),
+* hot starts from snapshotted (z, w) taken while phi > eps^(1/3)
+  (C:472-478, 330-352), with failure fallback to cold start (C:696-733).
+
+The design difference is structural, not algorithmic: the whole iteration is
+a pure JAX function over pytree state (x, y, z, w are pytrees whose shape is
+owned by the QP IR), the inner loop is a ``lax.while_loop`` compiled once and
+run entirely on device, and the exchangeable KKT backend
+(:mod:`hqp_tpu.qp.kkt`) is selected per problem structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from hqp_tpu.utils import masked as mk
+from hqp_tpu.utils.registry import modules
+
+# result codes, aligned with hqp/Hqp_impl.h:37-46
+OPTIMAL = 0
+FEASIBLE = 1
+INFEASIBLE = 2
+SUBOPTIMAL = 3
+DEGENERATE = 4
+ITERATING = 5
+
+RESULT_STRINGS = {
+    OPTIMAL: "optimal",
+    FEASIBLE: "feasible",
+    INFEASIBLE: "infeasible",
+    SUBOPTIMAL: "suboptimal",
+    DEGENERATE: "degenerate",
+    ITERATING: "iterating",
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class IPState:
+    """Full interior-point iterate -- a pytree living on device."""
+
+    x: jnp.ndarray   # primal (pytree shape owned by the QP IR)
+    y: jnp.ndarray   # equality multipliers
+    z: object        # inequality multipliers (IneqGroups / DenseIneq pytree)
+    w: object        # inequality slacks (same structure)
+    z_hot: object
+    w_hot: object
+    iter: jnp.ndarray        # int
+    result: jnp.ndarray      # int code
+    gap: jnp.ndarray
+    test: jnp.ndarray        # phi of last step
+    alpha: jnp.ndarray
+    mu0: jnp.ndarray
+    norm_r0: jnp.ndarray
+    phimin: jnp.ndarray      # [max_iters + 1]
+
+
+class Mehrotra:
+    """Mehrotra predictor-corrector IP solver over an exchangeable backend."""
+
+    def __init__(self, backend=None, eps=1e-9, max_iters=50, max_warm_iters=25,
+                 gammaf=0.01, init_method=0):
+        self.backend = backend
+        self.eps = eps
+        self.max_iters = max_iters
+        self.max_warm_iters = max_warm_iters
+        self.gammaf = gammaf
+        self.init_method = init_method
+
+    # -- state construction --------------------------------------------------
+
+    def init_state(self, qp):
+        mask = qp.ineq_mask()
+        ones = mk.fill(mk.tmap(lambda m: m.astype(jnp.float64), mask), 1.0)
+        x = qp.zero_x()
+        y = jnp.zeros_like(qp.eq_offsets())
+        return IPState(
+            x=x, y=y, z=ones, w=ones, z_hot=ones, w_hot=ones,
+            iter=jnp.asarray(0), result=jnp.asarray(ITERATING),
+            gap=jnp.asarray(0.0), test=jnp.asarray(jnp.inf),
+            alpha=jnp.asarray(1.0), mu0=jnp.asarray(1.0),
+            norm_r0=jnp.asarray(1.0),
+            phimin=jnp.zeros(self.max_iters + 1),
+        )
+
+    # -- cold start (Hqp_IpsMehrotra.C:209-327) ------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def cold_start(self, qp, state: IPState):
+        mask = qp.ineq_mask()
+        m = mk.count(mask)
+        ones = mk.where(mask, mk.fill(mask, 1.0), 1.0)
+        z = ones
+        if self.init_method == 1:
+            w = mk.fill(mask, _norm_d(qp) * _norm_Q(qp) / _norm_C(qp))
+            w = mk.where(mask, w, 1.0)
+        elif self.init_method == 2:
+            w = mk.fill(mask, _norm_C(qp) / _norm_d(qp) / _norm_Q(qp))
+            w = mk.where(mask, w, 1.0)
+        else:
+            w = ones
+
+        r1 = qp.c
+        r2 = -qp.eq_offsets()
+        r3 = mk.where(mask, mk.scale(-1.0, qp.ineq_offsets()), 0.0)
+        if self.init_method:
+            r4 = mk.where(mask, mk.tmap(lambda a, b: -a * b, z, w), 0.0)
+        else:
+            r4 = mk.fill(mask, 0.0)
+
+        fac = self.backend.factor(qp, z, w, mask)
+        dx, dy, dz, dw = self.backend.solve(fac, qp, z, w, mask,
+                                            r1, r2, r3, r4)
+        x = dx
+        y = dy
+        if self.init_method == 3:
+            dz = mk.add(dz, z)
+            dw = mk.add(dw, w)
+
+        # Mehrotra's initial point shift (C:299-315)
+        dz = _unzero(dz, mask)
+        dw = _unzero(dw, mask)
+        delz = jnp.maximum(-1.5 * mk.vmin(dz, mask), 0.0)
+        delw = jnp.maximum(-1.5 * mk.vmin(dw, mask), 0.0)
+        d1 = mk.tmap(lambda a: a + delz, dz)
+        d2 = mk.tmap(lambda a: a + delw, dw)
+        gap = mk.inner(d1, d2, mask)
+        delz = delz + 0.5 * gap / (mk.total(dw, mask) + m * delw)
+        delw = delw + 0.5 * gap / (mk.total(dz, mask) + m * delz)
+        z = mk.where(mask, mk.tmap(lambda a: a + delz, dz), 1.0)
+        w = mk.where(mask, mk.tmap(lambda a: a + delw, dw), 1.0)
+
+        onesz = mk.where(mask, mk.fill(mask, 1.0), 1.0)
+        degen = ~(jnp.isfinite(mk.norm_inf(dx)) & jnp.isfinite(gap))
+        return IPState(
+            x=x, y=y, z=z, w=w, z_hot=onesz, w_hot=onesz,
+            iter=jnp.asarray(0),
+            result=jnp.where(degen, DEGENERATE, ITERATING),
+            gap=gap, test=jnp.asarray(jnp.inf), alpha=jnp.asarray(1.0),
+            mu0=jnp.asarray(1.0), norm_r0=jnp.asarray(1.0),
+            phimin=jnp.zeros(self.max_iters + 1),
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def hot_start(self, qp, state: IPState):
+        """Re-use snapshotted (z, w); Hqp_IpsMehrotra.C:330-352."""
+        return dataclasses.replace(
+            state, z=state.z_hot, w=state.w_hot,
+            iter=jnp.asarray(0), result=jnp.asarray(ITERATING),
+            test=jnp.asarray(jnp.inf), alpha=jnp.asarray(1.0),
+            phimin=jnp.zeros(self.max_iters + 1),
+        )
+
+    # -- one predictor-corrector step (Hqp_IpsMehrotra.C:355-693) ------------
+
+    def step(self, qp, state: IPState) -> IPState:
+        eps = self.eps
+        gammaf = self.gammaf
+        mask = qp.ineq_mask()
+        m = mk.count(mask)
+        x, y, z, w = state.x, state.y, state.z, state.w
+
+        # residuals of the KKT conditions (C:425-445)
+        Qx = qp.matvec_Q(x)
+        gap = (mk.inner(x, Qx + qp.c) + mk.inner(y, qp.eq_offsets())
+               + mk.inner(z, qp.ineq_offsets(), mask))
+        r1 = Qx + qp.c - qp.matvec_eqT(y) - qp.matvec_ineqT(
+            mk.where(mask, z, 0.0))
+        r2 = -qp.eval_eq(x)
+        r3 = mk.where(mask, mk.sub(w, qp.eval_ineq(x)), 0.0)
+        r4 = mk.where(mask, mk.tmap(lambda a, b: -a * b, z, w), 0.0)
+        mu = mk.inner(z, w, mask) / m
+
+        norm_r = jnp.maximum(jnp.maximum(mk.norm_inf(r1), mk.norm_inf(r2)),
+                             mk.norm_inf(r3, mask))
+        norm_data = qp.norm_data()
+
+        first = state.iter == 0
+        mu0 = jnp.where(first, mu, state.mu0)
+        norm_r0 = jnp.where(first, norm_r, state.norm_r0)
+
+        phi = (norm_r + jnp.abs(gap)) / norm_data
+        phimin = state.phimin.at[state.iter].set(phi)
+
+        # hot start snapshot while still far from the central path (C:475-478)
+        snap = phi > eps ** 0.3333
+        z_hot = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(snap, a, b), z, state.z_hot)
+        w_hot = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(snap, a, b), w, state.w_hot)
+
+        # termination / abort tests (C:482-519)
+        iters = jnp.arange(self.max_iters + 1)
+        seen = iters <= state.iter
+        pm = jnp.min(jnp.where(seen, phimin, jnp.inf))
+        optimal = (mu <= eps) & (norm_r <= eps * norm_data)
+        subopt = (phi > eps) & (phi >= 1.0e4 * pm)
+        seen30 = (iters >= 1) & (iters <= state.iter - 30)
+        pm30 = jnp.min(jnp.where(seen30, phimin, jnp.inf))
+        slow = (state.iter >= 30) & (pm >= 0.5 * pm30)
+        blowup = (norm_r > eps * norm_data) & \
+            (norm_r / mu >= 1.0e8 * norm_r0 / mu0)
+
+        result = jnp.where(
+            optimal, OPTIMAL,
+            jnp.where(subopt | slow | blowup, SUBOPTIMAL, ITERATING))
+
+        base = dataclasses.replace(
+            state, z_hot=z_hot, w_hot=w_hot, gap=gap, test=phi, mu0=mu0,
+            norm_r0=norm_r0, phimin=phimin, result=result)
+
+        def do_step(st: IPState) -> IPState:
+            # factorization + affine predictor (C:524-562)
+            fac = self.backend.factor(qp, z, w, mask)
+            dxa, dya, dza, dwa = self.backend.solve(
+                fac, qp, z, w, mask, r1, r2, r3, r4)
+
+            alpha_aff = jnp.clip(
+                jnp.minimum(mk.ratio_min(z, dza, mask),
+                            mk.ratio_min(w, dwa, mask)), 0.0, 1.0)
+
+            # Terlaky centering (C:584-591)
+            gamma = 1.0e-4 ** 0.25
+            t = mk.vmax(
+                mk.tmap(lambda a, b, zi, wi:
+                        jnp.where(a * b > 0.0, a * b / zi / wi, 0.0),
+                        dza, dwa, z, w), mask)
+            t = jnp.maximum(t, 0.0)
+            sigma = gamma * (t + 1.0 - alpha_aff) / (1.0 - gamma)
+
+            def corrector(sig):
+                smm = sig * mu
+                r4c = mk.where(
+                    mask,
+                    mk.tmap(lambda zi, wi, a, b: -(zi * wi + a * b - smm),
+                            z, w, dza, dwa), 0.0)
+                return self.backend.solve(fac, qp, z, w, mask,
+                                          r1, r2, r3, r4c)
+
+            dx, dy, dz, dw = corrector(sigma)
+            alpha_corr = jnp.clip(
+                jnp.minimum(mk.ratio_min(z, dz, mask),
+                            mk.ratio_min(w, dw, mask)), 0.0, 1.0)
+
+            # fall back to pure centering when the corrector is blocked
+            # (Terlaky modification, C:604-623)
+            redo = (alpha_aff < 0.1) | \
+                (alpha_corr < gamma * gamma / 2.0 / m / m)
+            dx, dy, dz, dw = jax.lax.cond(
+                redo, lambda: corrector(gamma / (1.0 - gamma)),
+                lambda: (dx, dy, dz, dw))
+
+            # Mehrotra's adaptive step size (C:625-669)
+            alpha = self._adaptive_alpha(z, w, dz, dw, mask, m)
+
+            x_n = x + alpha * dx
+            y_n = y + alpha * dy
+            z_n = mk.where(mask, mk.axpy(alpha, dz, z), 1.0)
+            w_n = mk.where(mask, mk.axpy(alpha, dw, w), 1.0)
+
+            mu_n = mk.inner(z_n, w_n, mask) / m
+            bad = ~(jnp.isfinite(mu_n) & jnp.isfinite(mk.norm_inf(dx)))
+
+            return dataclasses.replace(
+                st,
+                x=jnp.where(bad, x, x_n),
+                y=jnp.where(bad, y, y_n),
+                z=jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(bad, a, b), z, z_n),
+                w=jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(bad, a, b), w, w_n),
+                alpha=alpha,
+                iter=st.iter + jnp.where(bad, 0, 1),
+                result=jnp.where(bad, DEGENERATE, st.result),
+            )
+
+        return jax.lax.cond(result == ITERATING, do_step, lambda s: s, base)
+
+    def _adaptive_alpha(self, z, w, dz, dw, mask, m):
+        """Mehrotra's adaptive stepsize heuristic (C:625-669)."""
+        gammaf = self.gammaf
+        zf, _ = ravel_pytree(z)
+        wf, _ = ravel_pytree(w)
+        dzf, _ = ravel_pytree(dz)
+        dwf, _ = ravel_pytree(dw)
+        mf, _ = ravel_pytree(mk.tmap(lambda a: a, mask))
+
+        okz = mf & (dzf < 0.0)
+        ratz = jnp.where(okz, -zf / jnp.where(okz, dzf, -1.0), mk.BIG)
+        okw = mf & (dwf < 0.0)
+        ratw = jnp.where(okw, -wf / jnp.where(okw, dwf, -1.0), mk.BIG)
+        izmin = jnp.argmin(ratz)
+        iwmin = jnp.argmin(ratw)
+        zmin = ratz[izmin]
+        wmin = ratw[iwmin]
+
+        none_blocking = (zmin >= mk.BIG) & (wmin >= mk.BIG)
+        alpha = jnp.minimum(jnp.minimum(zmin, wmin), 1.0)
+
+        mu_pl = jnp.sum(jnp.where(mf, (zf + alpha * dzf) * (wf + alpha * dwf),
+                                  0.0)) / m
+
+        w_blocks = wmin <= zmin
+        ib = jnp.where(w_blocks, iwmin, izmin)
+        # at the blocking index: the "other" variable's positivity decides
+        a_other = jnp.where(w_blocks, zf[ib] + alpha * dzf[ib],
+                            wf[ib] + alpha * dwf[ib])
+        d_block = jnp.where(w_blocks, alpha * dwf[ib], alpha * dzf[ib])
+        v_block = jnp.where(w_blocks, wf[ib], zf[ib])
+        fpd = jnp.where(a_other > 0.0,
+                        (gammaf * mu_pl / a_other - v_block) / d_block, 0.0)
+        alpha = jnp.clip(jnp.maximum(1.0 - gammaf, fpd) * alpha, 0.0, 1.0)
+        return jnp.where(none_blocking, 1.0, alpha)
+
+    # -- full solve with hot-start fallback (C:696-733) ----------------------
+
+    def solve(self, qp, state: IPState, hot: bool = False):
+        """Python-level driver with hot-start failure fallback (C:696-733)."""
+        fail_iters = 0
+        state = self.hot_start(qp, state) if hot else self.cold_start(qp, state)
+        hot_started = hot
+        while True:
+            test1 = None
+            while True:
+                state = self.step_jit(qp, state)
+                it = int(state.iter)
+                if hot_started:
+                    if it == 1:
+                        test1 = float(state.test)
+                    elif test1 is not None and (
+                        float(state.test) > test1 / (1.2 ** (it - 1.0))
+                        or float(state.alpha) < 1.0e-5
+                    ):
+                        fail_iters += it
+                        state = self.cold_start(qp, state)
+                        hot_started = False
+                        continue
+                if it + fail_iters >= self.max_iters:
+                    break
+                if hot_started and it >= self.max_warm_iters:
+                    break
+                if int(state.result) in (OPTIMAL, SUBOPTIMAL, DEGENERATE):
+                    break
+            if hot_started and int(state.result) != OPTIMAL:
+                fail_iters += int(state.iter)
+                state = self.cold_start(qp, state)
+                hot_started = False
+            else:
+                break
+        state = dataclasses.replace(
+            state, iter=state.iter + jnp.asarray(fail_iters))
+        return state
+
+    @partial(jax.jit, static_argnums=0)
+    def step_jit(self, qp, state):
+        return self.step(qp, state)
+
+
+modules.register("sqp_qp_solver", "Mehrotra")(Mehrotra)
+
+
+# -- helpers ----------------------------------------------------------------
+
+def _unzero(t, mask):
+    """If a direction is identically zero, nudge it (C:299-302)."""
+    n = mk.norm_inf(t, mask)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.where(n == 0.0, 1.0e-10, a), t)
+
+
+def _norm_Q(qp):
+    return jnp.maximum(jnp.max(jnp.abs(qp.Q)), 1e-10)
+
+
+def _norm_C(qp):
+    return jnp.maximum(jnp.max(jnp.abs(qp.C)), 1e-10)
+
+
+def _norm_d(qp):
+    return jnp.maximum(mk.norm_inf(qp.ineq_offsets(), qp.ineq_mask()), 1e-10)

@@ -1,0 +1,147 @@
+"""Powell SQP globalization: exact penalty line search with watchdog.
+
+Faithful re-implementation of hqp/Hqp_SqpPowell.C:
+
+* penalty update  r_i = |z_i|            on the first iteration,
+                  r_i = max(|z_i|, (|z_i| + r_i)/2)  afterwards  (C:118-150),
+* penalty function phi = f + re'|b| - r'min(0, d)   (C:189-210),
+* predicted phi1 at the full QP step                (C:213-244),
+* backtracking line search with the quadratic-interpolation lower bound
+  n_alpha = 0.5 d0 a^2 / (d0 a - (phik - phi0))     (C:350-377),
+* watchdog relaxation with backing store            (C:280-346),
+* optionally damped multipliers                     (C:253-260, 353-356).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hqp_tpu.qp import mehrotra as ip
+from hqp_tpu.sqp.solver import SqpSolver, _phi, _phi1
+from hqp_tpu.utils import masked as mk
+from hqp_tpu.utils.registry import modules
+
+
+@modules.register("sqp_solver", "Powell")
+class SqpPowell(SqpSolver):
+    name = "Powell"
+
+    def __init__(self, prg, watchdog_start=10, watchdog_credit=0,
+                 damped_multipliers=False, **kw):
+        super().__init__(prg, **kw)
+        self.watchdog_start = watchdog_start
+        self.watchdog_credit = watchdog_credit
+        self.damped_multipliers = damped_multipliers
+        self.re = None
+        self.r = None
+
+    def subclass_init(self):
+        self.re = jnp.zeros_like(self.qp.eq_offsets())
+        self.r = mk.fill(self.z, 0.0)
+        self._relaxed = False
+        self._watchdog_iter = -1
+        self._phil = 0.0
+        self._phil_test = 0.0
+        self._wd_backup = None
+
+    # penalty coefficient update (Powell's rule, C:118-150)
+    def _update_r(self, z, r):
+        az = mk.tmap(jnp.abs, z)
+        if self.iter == 0:
+            return az
+        return mk.tmap(
+            lambda a, ro: jnp.where(a > ro, a, 0.5 * (a + ro)), az, r)
+
+    def update_vals(self):
+        eps = self.eps
+        qp = self.qp
+
+        # update penalties with the QP multipliers (C:255-264)
+        if self.damped_multipliers:
+            y0, z0 = self.y, self.z
+            sy_y = self.ip_state.y - self.y
+            sz_z = mk.sub(self.ip_state.z, self.z)
+        self.y = self.ip_state.y
+        self.z = self.ip_state.z
+        self.re = self._update_r(self.y, self.re)
+        self.r = self._update_r(self.z, self.r)
+
+        x0 = self.x
+        f0v = self.f
+        qp0 = qp
+        phi0 = float(_phi(self.f, qp, self.re, self.r))
+        phik = phi0
+        dphi0 = float(_phi1(self.f, qp, self.s, self.re, self.r)) - phi0
+
+        alpha = self.min_alpha if dphi0 > 0.0 else 1.0
+
+        # watchdog bookkeeping (C:280-346)
+        if self.iter == 0:
+            self._phil = phi0
+        if self._watchdog_iter < 0:
+            self._phil_test = self._phil
+            self._phil = phi0
+        if self.watchdog_credit > 0 and self.iter >= self.watchdog_start:
+            if phi0 <= self._phil_test:
+                self._relaxed = True
+                self._watchdog_iter = self.iter
+                self._wd_backup = (x0, self.s, self.y, self.z)
+                self._phil = phi0
+                if dphi0 < 0.0:
+                    self._phil_test += 0.1 * self.min_alpha * dphi0
+            else:
+                self._relaxed = False
+            if (self._watchdog_iter >= 0 and
+                    self.iter >= self._watchdog_iter + self.watchdog_credit):
+                # back out to the stored iterate (C:313-345)
+                xl, qp_xl, yl, zl = self._wd_backup
+                self.x = xl
+                self.y, self.z = yl, zl
+                f, qpn = self.prg.make_qp(self.x, Q=self.qp.Q)
+                self.f, self.qp = f, qpn
+                self.hela_restart()
+                if self.damped_multipliers:
+                    y0, z0 = self.y, self.z
+                    sy_y = jnp.zeros_like(self.y)
+                    sz_z = mk.fill(self.z, 0.0)
+                self.re = self._update_r(self.y, self.re)
+                self.r = self._update_r(self.z, self.r)
+                self.s = qp_xl
+                qp = self.qp
+                x0 = self.x
+                phi0 = phik = float(_phi(self.f, qp, self.re, self.r))
+                dphi0 = float(_phi1(self.f, qp, self.s, self.re,
+                                    self.r)) - phi0
+                self._phil = phi0
+                self._relaxed = False
+                self._watchdog_iter = -1
+
+        # line search (C:350-377)
+        while True:
+            d = alpha * self.s
+            xk = x0 + d
+            if self.damped_multipliers and alpha < 1.0:
+                self.y = y0 + alpha * sy_y
+                self.z = mk.axpy(alpha, sz_z, z0)
+            f, qpv = self.prg.update_fbd_qp(qp0, x0, xk)
+            self.x, self.f, self.qp = xk, f, qpv
+            if alpha <= self.min_alpha:
+                break
+            if self._relaxed and self.watchdog_credit > 0:
+                break  # accept full step under watchdog relaxation
+            if not jnp.isfinite(f):
+                alpha *= 0.1
+                continue
+            phik = float(_phi(f, qpv, self.re, self.r))
+            if phik <= phi0 + 0.1 * alpha * dphi0 or abs(dphi0) <= eps:
+                break
+            n_alpha = 0.5 * dphi0 * alpha * alpha / \
+                (dphi0 * alpha - (phik - phi0))
+            if abs(alpha - n_alpha) < self.min_alpha:
+                break
+            alpha = max(alpha * 0.1, n_alpha, self.min_alpha)
+
+        self.alpha = alpha
+        self.d = alpha * self.s
+        self.dphi = dphi0
+        self.phi = phi0
