@@ -204,8 +204,12 @@ class Docp:
         out = jnp.zeros_like(v)
         out = out.at[:-1].add(jnp.einsum("kij,ki->kj", A, y))
         out = out.at[1:, :self.nx].add(-y)
-        zg = z.gl - z.gu
-        out = out + (z.bl - z.bu) + jnp.einsum("kij,ki->kj", C, zg)
+        # bound/constraint multipliers, masking out IP sentinel entries
+        zbl = jnp.where(jnp.isfinite(lb) & var_mask, z.bl, 0.0)
+        zbu = jnp.where(jnp.isfinite(ub) & var_mask, z.bu, 0.0)
+        zg = (jnp.where(jnp.isfinite(c_min) & con_mask, z.gl, 0.0)
+              - jnp.where(jnp.isfinite(c_max) & con_mask, z.gu, 0.0))
+        out = out + (zbl - zbu) + jnp.einsum("kij,ki->kj", C, zg)
         return cgrad - out
 
     def eval_hess_blocks(self, v, y, z):

@@ -63,6 +63,60 @@ def reduce_r1(qp, z, w, mask, r1, r3, r4):
     return r1 - qp.matvec_ineqT(t)
 
 
+def kkt_residual(qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw):
+    """Residual of the full 4x4 KKT system and its infinity norm
+    (Hqp_IpMatrix::residuum, hqp/Hqp_IpMatrix.C:131-180)."""
+    e1 = r1 + qp.matvec_Q(dx) - qp.matvec_eqT(dy) - qp.matvec_ineqT(dz)
+    e2 = r2 - (qp.eval_eq(dx) - qp.eq_offsets())
+    Cdx = qp.matvec_ineq(dx)
+    e3 = mk.where(mask, mk.tmap(lambda a, b, c: a - (b - c), r3, Cdx, dw),
+                  0.0)
+    e4 = mk.where(mask,
+                  mk.tmap(lambda a, zi, wi, dzi, dwi: a - (zi * dwi
+                                                          + wi * dzi),
+                          r4, z, w, dz, dw), 0.0)
+    res = jnp.maximum(
+        jnp.maximum(mk.norm_inf(e1), mk.norm_inf(e2)),
+        jnp.maximum(mk.norm_inf(e3, mask), mk.norm_inf(e4, mask)))
+    return e1, e2, e3, e4, res
+
+
+def refine(solve_fn, qp, z, w, mask, r1, r2, r3, r4, sol,
+           eps=1e-10, max_rounds=5):
+    """Iterative refinement of a KKT solve (Hqp_IpMatrix::solve,
+    hqp/Hqp_IpMatrix.C:65-128): re-solve on the residual and accept the
+    correction while the residual norm improves.  Runs as a
+    ``lax.while_loop`` so the common case (already accurate) costs one
+    residual evaluation."""
+    dx, dy, dz, dw = sol
+    *_, res0 = kkt_residual(qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw)
+
+    def cond(carry):
+        sol, res, i, go = carry
+        return go & (i < max_rounds) & (res > eps)
+
+    def body(carry):
+        (dx, dy, dz, dw), res, i, go = carry
+        e1, e2, e3, e4, _ = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
+                                         dx, dy, dz, dw)
+        cx, cy, cz, cw = solve_fn(e1, e2, e3, e4)
+        nx_, ny_, nz_, nw_ = (dx + cx, dy + cy, mk.add(dz, cz),
+                              mk.add(dw, cw))
+        *_, nres = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
+                                nx_, ny_, nz_, nw_)
+        better = nres < res
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, a, b), new, old)
+        return ((keep(nx_, dx), keep(ny_, dy), keep(nz_, dz),
+                 keep(nw_, dw)),
+                jnp.where(better, nres, res), i + 1, better)
+
+    (dx, dy, dz, dw), res, _, _ = jax.lax.while_loop(
+        cond, body, ((dx, dy, dz, dw), res0, jnp.asarray(0),
+                     jnp.asarray(True)))
+    return dx, dy, dz, dw
+
+
 def recover_zw(qp, z, w, mask, dx, r3, r4):
     """dz = W^-1 Z (r3 - C dx) + W^-1 r4,  dw = C dx - r3."""
     Cdx = qp.matvec_ineq(dx)
@@ -122,8 +176,11 @@ class RiccatiKKT:
     Cholesky of Guu, and runs as a `lax.scan` over [K, n, n] HBM blocks.
     """
 
-    def __init__(self, reg: float = 0.0):
+    def __init__(self, reg: float = 0.0, refine_eps: float = 1e-10,
+                 refine_rounds: int = 5):
         self.reg = reg
+        self.refine_eps = refine_eps
+        self.refine_rounds = refine_rounds
 
     def factor(self, qp: StageQP, z, w, mask):
         H = _stage_hessians(qp, z, w, mask)
@@ -202,10 +259,17 @@ class RiccatiKKT:
         return dx, dy
 
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
-        g = reduce_r1(qp, z, w, mask, r1, r3, r4)
-        dx, dy = self.solve_reduced(fac, qp, g, r2)
-        dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)
-        return dx, dy, dz, dw
+        def base(a1, a2, a3, a4):
+            g = reduce_r1(qp, z, w, mask, a1, a3, a4)
+            dx, dy = self.solve_reduced(fac, qp, g, a2)
+            dz, dw = recover_zw(qp, z, w, mask, dx, a3, a4)
+            return dx, dy, dz, dw
+
+        sol = base(r1, r2, r3, r4)
+        if self.refine_rounds > 0:
+            sol = refine(base, qp, z, w, mask, r1, r2, r3, r4, sol,
+                         eps=self.refine_eps, max_rounds=self.refine_rounds)
+        return sol
 
 
 modules.register("qp_mat_solver", "LQDOCP")(RiccatiKKT)

@@ -218,9 +218,13 @@ class Mehrotra:
         blowup = (norm_r > eps * norm_data) & \
             (norm_r / mu >= 1.0e8 * norm_r0 / mu0)
 
+        # note: the blow-up test sets Suboptimal but does NOT skip the step
+        # (the reference's branch has no return, C:513-519); the solve loop
+        # then exits after this final step.
         result = jnp.where(
             optimal, OPTIMAL,
             jnp.where(subopt | slow | blowup, SUBOPTIMAL, ITERATING))
+        take_step = (~optimal) & (~subopt) & (~slow)
 
         base = dataclasses.replace(
             state, z_hot=z_hot, w_hot=w_hot, gap=gap, test=phi, mu0=mu0,
@@ -291,7 +295,7 @@ class Mehrotra:
                 result=jnp.where(bad, DEGENERATE, st.result),
             )
 
-        return jax.lax.cond(result == ITERATING, do_step, lambda s: s, base)
+        return jax.lax.cond(take_step, do_step, lambda s: s, base)
 
     def _adaptive_alpha(self, z, w, dz, dw, mask, m):
         """Mehrotra's adaptive stepsize heuristic (C:625-669)."""

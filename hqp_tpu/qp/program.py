@@ -131,8 +131,13 @@ class StageQP:
         return IneqGroups(bl=v, bu=-v, gl=Cv, gu=-Cv)
 
     def matvec_ineqT(self, z: IneqGroups):
-        zg = z.gl - z.gu
-        return (z.bl - z.bu) + jnp.einsum("kij,ki->kj", self.C, zg)
+        # mask out sentinel values carried in invalid entries (the IP keeps
+        # masked z/w at 1.0 to stay strictly positive)
+        m = self.ineq_mask()
+        zbl = jnp.where(m.bl, z.bl, 0.0)
+        zbu = jnp.where(m.bu, z.bu, 0.0)
+        zg = jnp.where(m.gl, z.gl, 0.0) - jnp.where(m.gu, z.gu, 0.0)
+        return (zbl - zbu) + jnp.einsum("kij,ki->kj", self.C, zg)
 
     def eval_ineq(self, v) -> IneqGroups:
         """One-sided constraint values 'Cv + d' per group (>= 0 feasible)."""
