@@ -1,0 +1,80 @@
+"""Multi-device parallelism: batched scenarios + stage-axis sharding.
+
+The reference's concurrency story is OpenMP threads over horizon stages
+(hqp/Hqp_Docp.C:837,955) and a multicore PARDISO factorization
+(hqp/Hqp_IpPARDISO.h:65).  The TPU-native equivalents (SURVEY.md section
+2.7):
+
+* scenario batching: whole problem instances vmapped over a leading batch
+  axis and sharded over the device mesh ("dp");
+* stage-axis sharding of the per-stage evaluations and block operations
+  ("st"), with XLA inserting the collectives at the sequential-recursion
+  boundary.
+
+Everything here is ordinary jit + NamedSharding; no hand-written
+communication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axes=("dp",)):
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    import numpy as np
+    n = len(devs)
+    if len(axes) == 1:
+        shape = (n,)
+    else:
+        # split n into two near-square factors
+        a = 1
+        for f in range(int(n ** 0.5), 0, -1):
+            if n % f == 0:
+                a = f
+                break
+        shape = (a, n // a)
+    return Mesh(np.array(devs).reshape(shape), axes)
+
+
+def shard_batch(tree, mesh, axis_name="dp"):
+    """Place a batched pytree with its leading axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def batched_qp(prg, base_v, n_scenarios, scale=1e-3, seed=0):
+    """Build a batch of perturbed iterates for scenario-parallel solves
+    (the '256 perturbed DIDs' benchmark config of BASELINE.md)."""
+    key = jax.random.PRNGKey(seed)
+    noise = scale * jax.random.normal(
+        key, (n_scenarios,) + tuple(base_v.shape))
+    return base_v[None] + noise
+
+
+def make_scenario_step(prg, solver):
+    """One interior-point iteration over a batch of problem instances.
+
+    Returns a jittable function (v_batch, Q_batch, state_batch) ->
+    state_batch', vmapped over scenarios; under a sharded-in batch this is
+    pure data parallelism over the mesh.
+    """
+
+    def one(v, Q, state):
+        _, qp = prg.make_qp(v, Q=Q)
+        return solver.step(qp, state)
+
+    return jax.vmap(one)
+
+
+def make_scenario_init(prg, solver):
+    def one(v, Q):
+        _, qp = prg.make_qp(v, Q=Q)
+        st = solver.init_state(qp)
+        return solver.cold_start(qp, st)
+
+    return jax.vmap(one)

@@ -102,8 +102,21 @@ class Mehrotra:
 
     # -- cold start (Hqp_IpsMehrotra.C:209-327) ------------------------------
 
+    @staticmethod
+    def _no_ineq(qp):
+        """Structurally no inequality rows (reference's m == 0 case)."""
+        return all(l.size == 0
+                   for l in jax.tree_util.tree_leaves(qp.ineq_mask()))
+
     @partial(jax.jit, static_argnums=0)
     def cold_start(self, qp, state: IPState):
+        if self._no_ineq(qp):
+            # program without inequality constraints (C:322-327)
+            return dataclasses.replace(
+                state, x=qp.zero_x(), y=jnp.zeros_like(qp.eq_offsets()),
+                iter=jnp.asarray(0), result=jnp.asarray(ITERATING),
+                test=jnp.asarray(jnp.inf), alpha=jnp.asarray(1.0),
+                phimin=jnp.zeros(self.max_iters + 1))
         mask = qp.ineq_mask()
         m = mk.count(mask)
         ones = mk.where(mask, mk.fill(mask, 1.0), 1.0)
@@ -171,6 +184,8 @@ class Mehrotra:
     # -- one predictor-corrector step (Hqp_IpsMehrotra.C:355-693) ------------
 
     def step(self, qp, state: IPState) -> IPState:
+        if self._no_ineq(qp):
+            return self._step_eq_only(qp, state)
         eps = self.eps
         gammaf = self.gammaf
         mask = qp.ineq_mask()
@@ -296,6 +311,30 @@ class Mehrotra:
             )
 
         return jax.lax.cond(take_step, do_step, lambda s: s, base)
+
+    def _step_eq_only(self, qp, state: IPState) -> IPState:
+        """Newton step for a program without inequality constraints
+        (Hqp_IpsMehrotra.C:364-415): one factor+solve, then optimal."""
+        mask = qp.ineq_mask()
+        x, y = state.x, state.y
+        r1 = qp.matvec_Q(x) + qp.c - qp.matvec_eqT(y)
+        r2 = -qp.eval_eq(x)
+        r3 = mk.fill(mask, 0.0)
+        r4 = mk.fill(mask, 0.0)
+        z = mk.fill(mask, 1.0)
+        w = mk.fill(mask, 1.0)
+        fac = self.backend.factor(qp, z, w, mask)
+        dx, dy, _, _ = self.backend.solve(fac, qp, z, w, mask,
+                                          r1, r2, r3, r4)
+        bad = ~(jnp.isfinite(mk.norm_inf(dx)) & jnp.isfinite(mk.norm_inf(dy)))
+        return dataclasses.replace(
+            state,
+            x=jnp.where(bad, x, x + dx),
+            y=jnp.where(bad, y, y + dy),
+            iter=state.iter + jnp.where(bad, 0, 1),
+            result=jnp.where(bad, DEGENERATE, OPTIMAL),
+            test=mk.norm_inf(r1) + mk.norm_inf(r2),
+        )
 
     def _adaptive_alpha(self, z, w, dz, dw, mask, m):
         """Mehrotra's adaptive stepsize heuristic (C:625-669)."""
