@@ -1,0 +1,92 @@
+"""Small-matrix linear algebra as unrolled, XLA-fusible jnp ops.
+
+TPU reality check (measured on v5e): ``jnp.linalg.cholesky`` /
+``cho_solve`` / ``lu_factor`` lower to custom loops and triangular-solve
+HLOs that cost milliseconds *per call* inside a ``lax.scan`` body, and LU
+decomposition is not even implemented for f64 on TPU.  The reference's
+per-stage blocks are tiny (nx, nu of a few to a few dozen --
+hqp/Hqp_IpLQDOCP.C factors Guu of size nu per stage), so the TPU-native
+answer is factorizations unrolled over the *static* dimension: pure
+mul/add/div/sqrt graphs that XLA fuses and that batch over huge leading
+axes ([K] stages, [P] partitions, [B] scenarios).
+
+All routines operate on the last two axes and broadcast over any leading
+batch axes.  They are pivot-free (Cholesky for SPD blocks); the IP layers
+iterative refinement on top (hqp/Hqp_IpMatrix.C) exactly as the reference
+does for its pivot-tolerant sparse BKP.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_UNROLL_LIMIT = 48
+
+
+def chol(A):
+    """Cholesky factor (lower) of SPD blocks, unrolled over the static n."""
+    n = A.shape[-1]
+    if n > _UNROLL_LIMIT:
+        return jnp.linalg.cholesky(A)
+    cols = []
+    for j in range(n):
+        v = A[..., j:, j]
+        for k in range(j):
+            v = v - cols[k][..., j - k:] * cols[k][..., j - k, None]
+        d = jnp.sqrt(v[..., 0])
+        cols.append(v / d[..., None])
+    L = jnp.zeros_like(A)
+    for j in range(n):
+        L = L.at[..., j:, j].set(cols[j])
+    return L
+
+
+def tri_lower_solve(L, b):
+    """Solve L x = b with L lower triangular; b is [..., n] or [..., n, m]."""
+    n = L.shape[-1]
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    if n > _UNROLL_LIMIT:
+        import jax.lax.linalg as lxl
+        x = lxl.triangular_solve(L, b, left_side=True, lower=True)
+        return x[..., 0] if vec else x
+    xs = []
+    for i in range(n):
+        v = b[..., i, :]
+        for k in range(i):
+            v = v - L[..., i, k, None] * xs[k]
+        xs.append(v / L[..., i, i, None])
+    x = jnp.stack(xs, axis=-2)
+    return x[..., 0] if vec else x
+
+
+def tri_upper_solve(L, b):
+    """Solve L' x = b with L lower triangular (i.e. upper system)."""
+    n = L.shape[-1]
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    if n > _UNROLL_LIMIT:
+        import jax.lax.linalg as lxl
+        x = lxl.triangular_solve(L, b, left_side=True, lower=True,
+                                 transpose_a=True)
+        return x[..., 0] if vec else x
+    xs = [None] * n
+    for i in reversed(range(n)):
+        v = b[..., i, :]
+        for k in range(i + 1, n):
+            v = v - L[..., k, i, None] * xs[k]
+        xs[i] = v / L[..., i, i, None]
+    x = jnp.stack(xs, axis=-2)
+    return x[..., 0] if vec else x
+
+
+def cho_solve(L, b):
+    """Solve A x = b given L = chol(A)."""
+    return tri_upper_solve(L, tri_lower_solve(L, b))
+
+
+def spd_solve(A, b):
+    """Solve SPD A x = b by unrolled Cholesky."""
+    return cho_solve(chol(A), b)

@@ -38,8 +38,9 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve, lu_factor, lu_solve
+from jax.scipy.linalg import lu_factor, lu_solve
 
+from hqp_tpu.ops import smalllin as sl
 from hqp_tpu.utils import masked as mk
 from hqp_tpu.utils.registry import modules
 from hqp_tpu.qp.program import StageQP, DenseQP, IneqGroups
@@ -188,8 +189,8 @@ class RiccatiKKT:
         eyeu = self.reg * jnp.eye(nu)
         # terminal stage: eliminate the (padded) u-block by Schur complement
         HK = H[-1]
-        LuuK = jnp.linalg.cholesky(HK[nx:, nx:] + eyeu)
-        KgainK = cho_solve((LuuK, True), HK[nx:, :nx])
+        LuuK = sl.chol(HK[nx:, nx:] + eyeu)
+        KgainK = sl.cho_solve(LuuK, HK[nx:, :nx])
         PK = HK[:nx, :nx] - HK[:nx, nx:] @ KgainK
         PK = 0.5 * (PK + PK.T)
 
@@ -200,8 +201,8 @@ class RiccatiKKT:
             Gxx = G[:nx, :nx]
             Gux = G[nx:, :nx]
             Guu = G[nx:, nx:] + eyeu
-            Luu = jnp.linalg.cholesky(Guu)
-            Kg = cho_solve((Luu, True), Gux)              # [nu, nx]
+            Luu = sl.chol(Guu)
+            Kg = sl.cho_solve(Luu, Gux)                   # [nu, nx]
             Pk = Gxx - Gux.T @ Kg
             Pk = 0.5 * (Pk + Pk.T)
             return Pk, (Luu, Gux, Kg, P)
@@ -211,7 +212,7 @@ class RiccatiKKT:
         )
         Luu, Gux, Kg = Luu_r[::-1], Gux_r[::-1], Kg_r[::-1]
         P = jnp.concatenate([P0[None], Pnext_r[::-1]], axis=0)  # P_0..P_K
-        LP0 = jnp.linalg.cholesky(P0)
+        LP0 = sl.chol(P0)
         return RiccatiFactors(Luu=Luu, Gux=Gux, Kgain=Kg, P=P, LP0=LP0,
                               LuuK=LuuK, KgainK=KgainK)
 
@@ -225,7 +226,7 @@ class RiccatiKKT:
         def bwd(p, inp):
             Luu, Gux, Pn, Axk, Auk, r2k, gxk, guk = inp
             t = p - Pn @ r2k
-            bu = cho_solve((Luu, True), -(guk + Auk.T @ t))
+            bu = sl.cho_solve(Luu, -(guk + Auk.T @ t))
             pk = gxk + Axk.T @ t + Gux.T @ bu
             return pk, (bu, p)
 
@@ -237,7 +238,7 @@ class RiccatiKKT:
         )
         bu, pnext = bu_r[::-1], pnext_r[::-1]
 
-        dx0 = cho_solve((fac.LP0, True), -p0)
+        dx0 = sl.cho_solve(fac.LP0, -p0)
 
         # forward sweep: controls, states, dynamics multipliers.
         # The recursion's costate is the negative of the saddle system's dy
@@ -253,7 +254,7 @@ class RiccatiKKT:
         dxK, (v, dy) = jax.lax.scan(
             fwd, dx0, (fac.Kgain, bu, fac.P[1:], pnext, qp.A, r2)
         )
-        duK = -(cho_solve((fac.LuuK, True), gu[-1]) + fac.KgainK @ dxK)
+        duK = -(sl.cho_solve(fac.LuuK, gu[-1]) + fac.KgainK @ dxK)
         vK = jnp.concatenate([dxK, duK])[None]
         dx = jnp.concatenate([v, vK], axis=0)
         return dx, dy
@@ -286,19 +287,27 @@ class DenseFactors:
     piv: jnp.ndarray
 
 
+def lu_dtype():
+    """LU factorization dtype: TPU implements LuDecomposition only for f32
+    (measured on v5e); accuracy is recovered by f64 iterative refinement
+    (the reference's own layering, hqp/Hqp_IpMatrix.C)."""
+    return jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+
+
 def _saddle_factor(H, A, eq_mask):
     """LU-factor [[-H, A'], [A, 0]] with masked eq rows replaced by identity."""
     n, me = H.shape[0], A.shape[0]
     Am = A * eq_mask[:, None]
     Z = jnp.diag(jnp.where(eq_mask, 0.0, 1.0))
     J = jnp.block([[-H, Am.T], [Am, Z]])
-    lu, piv = lu_factor(J)
+    lu, piv = lu_factor(J.astype(lu_dtype()))
     return DenseFactors(lu=lu, piv=piv)
 
 
 def _saddle_solve(fac: DenseFactors, n, r1_eff, r2):
     rhs = jnp.concatenate([r1_eff, r2])
-    sol = lu_solve((fac.lu, fac.piv), rhs)
+    sol = lu_solve((fac.lu, fac.piv), rhs.astype(fac.lu.dtype))
+    sol = sol.astype(rhs.dtype)
     return sol[:n], sol[n:]
 
 
@@ -310,18 +319,29 @@ class DenseKKT:
     LU replaces sparse RCM + BKP, appropriate for moderate n on the MXU.
     """
 
+    def __init__(self, refine_eps: float = 1e-10, refine_rounds: int = 5):
+        self.refine_eps = refine_eps
+        self.refine_rounds = refine_rounds
+
     def factor(self, qp: DenseQP, z, w, mask):
         sig = barrier_ratios(z, w, mask)
         H = qp.Q + (qp.C.T * sig.g) @ qp.C
         return _saddle_factor(H, qp.A, qp.eq_mask_)
 
     def solve(self, fac, qp: DenseQP, z, w, mask, r1, r2, r3, r4):
-        g = reduce_r1(qp, z, w, mask, r1, r3, r4)
-        # saddle system is [-H, A'; A, 0][dx; dy] = [g; r2]
-        r2m = jnp.where(qp.eq_mask_, r2, 0.0)
-        dx, dy = _saddle_solve(fac, qp.n, g, r2m)
-        dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)
-        return dx, dy, dz, dw
+        def base(a1, a2, a3, a4):
+            g = reduce_r1(qp, z, w, mask, a1, a3, a4)
+            # saddle system is [-H, A'; A, 0][dx; dy] = [g; r2]
+            r2m = jnp.where(qp.eq_mask_, a2, 0.0)
+            dx, dy = _saddle_solve(fac, qp.n, g, r2m)
+            dz, dw = recover_zw(qp, z, w, mask, dx, a3, a4)
+            return dx, dy, dz, dw
+
+        sol = base(r1, r2, r3, r4)
+        if self.refine_rounds > 0:
+            sol = refine(base, qp, z, w, mask, r1, r2, r3, r4, sol,
+                         eps=self.refine_eps, max_rounds=self.refine_rounds)
+        return sol
 
 
 modules.register("qp_mat_solver", "RedSpBKP")(DenseKKT)

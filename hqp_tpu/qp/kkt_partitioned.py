@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import lu_factor, lu_solve
 
+from hqp_tpu.ops import blocktri
+from hqp_tpu.ops import smalllin as sl
 from hqp_tpu.utils.registry import modules
 from hqp_tpu.qp.program import StageQP
 from hqp_tpu.qp import kkt as K_
@@ -44,10 +46,9 @@ class PartFactors:
     piv: jnp.ndarray      # [P, s]
     W: jnp.ndarray        # [P, s, 2nx]  M_II^-1 M_IB
     MIB: jnp.ndarray      # [P, s, 2nx]
-    # master block-tridiagonal factorization (forward elimination storage)
-    Dlu: jnp.ndarray      # [P+1, nx, nx]
-    Dpiv: jnp.ndarray     # [P+1, nx]
-    Off: jnp.ndarray      # [P, nx, nx] upper off-diagonal blocks O_p
+    # master: SPD block-tridiagonal Cholesky of -(boundary Schur system)
+    Lb: jnp.ndarray       # [P+1, nx, nx]
+    Wb: jnp.ndarray       # [P, nx, nx]
     LuuK: jnp.ndarray     # [nu, nu] terminal u-block Cholesky
     KgainK: jnp.ndarray   # [nu, nx]
 
@@ -153,14 +154,14 @@ class PartitionedKKT:
         nx, nu = qp.nx, qp.nu
         L, P, s, offs, MII, MIB = self._assemble(qp, H)
 
-        lu, piv = jax.vmap(lu_factor)(MII)
-        W = jax.vmap(lambda l, p, b: lu_solve((l, p), b))(lu, piv, MIB)
+        lu, piv = jax.vmap(lu_factor)(MII.astype(K_.lu_dtype()))
+        W = jax.vmap(lambda l, p, b: lu_solve((l, p), b))(
+            lu, piv, MIB.astype(lu.dtype)).astype(MIB.dtype)
 
         # terminal stage u-elimination (same as RiccatiKKT terminal)
         HK = H[-1]
-        LuuK = jnp.linalg.cholesky(HK[nx:, nx:])
-        from jax.scipy.linalg import cho_solve
-        KgainK = cho_solve((LuuK, True), HK[nx:, :nx])
+        LuuK = sl.chol(HK[nx:, nx:])
+        KgainK = sl.cho_solve(LuuK, HK[nx:, :nx])
         PKxx = HK[:nx, :nx] - HK[:nx, nx:] @ KgainK
 
         # master block-tridiagonal assembly
@@ -173,25 +174,14 @@ class PartitionedKKT:
         D = D.at[1:].add(Schur[:, nx:, nx:])
         Off = Schur[:, :nx, nx:]                 # couples x_p to x_{p+1}
 
-        # forward block elimination of the tridiagonal master
-        def scan_fn(carry, inp):
-            lu_prev, piv_prev, first = carry
-            Dk, Ok_prev = inp
-            corr = jax.lax.cond(
-                first,
-                lambda: jnp.zeros((nx, nx)),
-                lambda: Ok_prev.T @ lu_solve((lu_prev, piv_prev), Ok_prev))
-            Dk = Dk - corr
-            luk, pk = lu_factor(Dk)
-            return (luk, pk, jnp.asarray(False)), (luk, pk)
-
-        O_pad = jnp.concatenate([jnp.zeros((1, nx, nx)), Off], axis=0)
-        lu0, piv0 = lu_factor(jnp.eye(nx))
-        (_, _, _), (Dlu, Dpiv) = jax.lax.scan(
-            scan_fn, (lu0, piv0, jnp.asarray(True)), (D, O_pad))
-
-        return PartFactors(lu=lu, piv=piv, W=W, MIB=MIB, Dlu=Dlu,
-                           Dpiv=Dpiv, Off=Off, LuuK=LuuK, KgainK=KgainK)
+        # The boundary Schur system is the negative of an SPD condensed
+        # Hessian (inertia argument: all dynamics rows are interior, so the
+        # Schur complement of the saddle onto the primal boundary block is
+        # negative definite).  Factor -(D, Off) by SPD block-tridiagonal
+        # Cholesky with unrolled kernels.
+        Lb, Wb = blocktri.factor(-D, -Off)
+        return PartFactors(lu=lu, piv=piv, W=W, MIB=MIB, Lb=Lb, Wb=Wb,
+                           LuuK=LuuK, KgainK=KgainK)
 
     # -- solve ---------------------------------------------------------------
 
@@ -222,40 +212,13 @@ class PartitionedKKT:
 
         # forward Schur: condense interior onto boundaries
         t = jax.vmap(lambda l, p, b: lu_solve((l, p), b))(
-            fac.lu, fac.piv, rhoI)
+            fac.lu, fac.piv, rhoI.astype(fac.lu.dtype)).astype(rhoI.dtype)
         corr = jnp.einsum("psb,ps->pb", fac.MIB, t)     # [P, 2nx]
         rhoB = rhoB.at[:-1].add(-corr[:, :nx])
         rhoB = rhoB.at[1:].add(-corr[:, nx:])
 
-        # master tridiagonal solve (forward elim + back subst)
-        O_pad = jnp.concatenate([jnp.zeros((1, nx, nx)), fac.Off], axis=0)
-
-        def fwd(carry, inp):
-            y_prev, first = carry
-            luk, pk, rk, Ok_prev = inp
-            rk = rk - jax.lax.cond(
-                first, lambda: jnp.zeros((nx,)),
-                lambda: Ok_prev.T @ y_prev)
-            yk = lu_solve((luk, pk), rk)
-            return (yk, jnp.asarray(False)), yk
-
-        (_, _), ys = jax.lax.scan(
-            fwd, (jnp.zeros(nx), jnp.asarray(True)),
-            (fac.Dlu, fac.Dpiv, rhoB, O_pad))
-
-        def bwd(carry, inp):
-            x_next, first = carry
-            luk, pk, yk, Ok = inp
-            xk = yk - jax.lax.cond(
-                first, lambda: jnp.zeros((nx,)),
-                lambda: lu_solve((luk, pk), Ok @ x_next))
-            return (xk, jnp.asarray(False)), xk
-
-        O_pad_b = jnp.concatenate([fac.Off, jnp.zeros((1, nx, nx))], axis=0)
-        (_, _), xB_r = jax.lax.scan(
-            bwd, (jnp.zeros(nx), jnp.asarray(True)),
-            (fac.Dlu[::-1], fac.Dpiv[::-1], ys[::-1], O_pad_b[::-1]))
-        xB = xB_r[::-1]                                  # [P+1, nx]
+        # master solve: the assembled system is -(SPD); flip the rhs sign
+        xB = blocktri.solve(fac.Lb, fac.Wb, -rhoB)       # [P+1, nx]
 
         # back-substitute interiors (batched)
         xpair = jnp.concatenate([xB[:-1], xB[1:]], axis=1)   # [P, 2nx]
@@ -267,8 +230,7 @@ class PartitionedKKT:
         vfull = jnp.concatenate(
             [jnp.concatenate([xB[:-1], u0], axis=1)[:, None, :], vint],
             axis=1)                                       # [P, L, nv]
-        duK = -(jax.scipy.linalg.cho_solve((fac.LuuK, True), gu[-1])
-                + fac.KgainK @ xB[-1])
+        duK = -(sl.cho_solve(fac.LuuK, gu[-1]) + fac.KgainK @ xB[-1])
         dx = jnp.concatenate(
             [vfull.reshape(P * L, nv),
              jnp.concatenate([xB[-1], duK])[None]], axis=0)
