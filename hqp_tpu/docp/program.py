@@ -120,50 +120,60 @@ class Docp:
 
     # vectorized stage evaluations ------------------------------------------
 
-    def _stage_fns(self):
-        K, K1, nx, nu = self.K, self.K + 1, self.nx, self.nu
+    def stage_all(self, k, x, u):
+        """Combined per-stage evaluation (f, f0, c) for stages k < K.
 
-        def split(v):
-            return v[:nx], v[nx:]
+        Override when dynamics/cost/constraints share expensive work (the
+        Omuses layer integrates once and derives all three -- the role of
+        Hqp_Omuses::update_stage, omu/Hqp_Omuses.C:566-780).  The default
+        composes the separate f/f0/c callbacks.
+        """
+        return (self.f(k, x, u), self.f0(k, x, u),
+                jnp.atleast_1d(self.c(k, x, u)))
 
-        def f_v(k, v):
-            x, u = split(v)
-            return self.f(k, x, u)
+    def stage_final(self, x, u):
+        """(f0, c) of the terminal stage (u is the zero padding)."""
+        K = jnp.asarray(self.K)
+        return (self.f0(K, x, u), jnp.atleast_1d(self.c(K, x, u)))
 
-        def f0_v(k, v):
-            x, u = split(v)
-            return self.f0(k, x, u)
+    def _split_fns(self):
+        nx = self.nx
 
-        def c_v(k, v):
-            x, u = split(v)
-            return jnp.atleast_1d(self.c(k, x, u))
+        def all_v(k, v):
+            f, f0, c = self.stage_all(k, v[:nx], v[nx:])
+            return f, f0, c
 
-        return f_v, f0_v, c_v
+        def fin_v(v):
+            f0, c = self.stage_final(v[:nx], v[nx:])
+            return f0, c
+
+        return all_v, fin_v
 
     @partial(jax.jit, static_argnums=0)
     def eval_vals(self, v):
         """Values only: objective, dynamics residual, constraint values.
         Analog of Hqp_Docp::update_fbd (hqp/Hqp_Docp.C:831-892)."""
-        K, K1, nx = self.K, self.K + 1, self.nx
-        f_v, f0_v, c_v = self._stage_fns()
-        ks = jnp.arange(K)
-        ks1 = jnp.arange(K1)
-        fvals = jax.vmap(f_v)(ks, v[:-1])
+        K, nx = self.K, self.nx
+        all_v, fin_v = self._split_fns()
+        fvals, f0s, cvals = jax.vmap(all_v)(jnp.arange(K), v[:-1])
+        f0K, cK = fin_v(v[-1])
         b = fvals - v[1:, :nx]
-        f0s = jax.vmap(f0_v)(ks1, v)
-        cvals = jax.vmap(c_v)(ks1, v)
-        return jnp.sum(f0s), b, cvals
+        cvals = jnp.concatenate([cvals, cK[None]], axis=0)
+        return jnp.sum(f0s) + f0K, b, cvals
 
     @partial(jax.jit, static_argnums=0)
     def eval_derivs(self, v):
-        """Jacobians: A = [fx fu], c gradient, C = dcdv.
-        Analog of Hqp_Docp::update/update_grds (hqp/Hqp_Docp.C:944-1193),
-        with jax.jacobian replacing finite differences / ADOL-C."""
-        K, K1 = self.K, self.K + 1
-        f_v, f0_v, c_v = self._stage_fns()
-        A = jax.vmap(jax.jacobian(f_v, argnums=1))(jnp.arange(K), v[:-1])
-        cgrad = jax.vmap(jax.grad(f0_v, argnums=1))(jnp.arange(K1), v)
-        C = jax.vmap(jax.jacobian(c_v, argnums=1))(jnp.arange(K1), v)
+        """Jacobians: A = [fx fu], objective gradient, C = dc/dv in ONE
+        vectorized forward-mode pass per stage.  Analog of
+        Hqp_Docp::update/update_grds (hqp/Hqp_Docp.C:944-1193), with
+        jax.jacfwd replacing finite differences / ADOL-C forward."""
+        K = self.K
+        all_v, fin_v = self._split_fns()
+        A, cgrad, C = jax.vmap(jax.jacfwd(all_v, argnums=1))(
+            jnp.arange(K), v[:-1])
+        gK, CK = jax.jacfwd(fin_v)(v[-1])
+        cgrad = jnp.concatenate([cgrad, gK[None]], axis=0)
+        C = jnp.concatenate([C, CK[None]], axis=0)
         return A, cgrad, C
 
     # program protocol consumed by the SQP solver ---------------------------
@@ -215,21 +225,23 @@ class Docp:
     def eval_hess_blocks(self, v, y, z):
         """Exact per-stage Lagrangian Hessian blocks [K1, nv, nv]
         (for the Gerschgorin hela; role of Omu linearity analysis)."""
-        f_v, f0_v, c_v = self._stage_fns()
-        K, K1, nx = self.K, self.K + 1, self.nx
-        ypad = jnp.concatenate([y, jnp.zeros((1, self.nx))])
-        kk = jnp.arange(K1)
+        all_v, fin_v = self._split_fns()
+        K = self.K
         zg = z.gl - z.gu
 
         def lag(k, vk, yk, zk):
-            val = f0_v(k, vk)
-            val = val - jnp.where(k < K, yk @ f_v(jnp.minimum(k, K - 1), vk),
-                                  0.0)
-            val = val - zk @ c_v(k, vk)
-            return val
+            f, f0, c = all_v(k, vk)
+            return f0 - yk @ f - zk @ c
 
-        H = jax.vmap(jax.hessian(lag, argnums=1))(kk, v, ypad, zg)
-        return H
+        H = jax.vmap(jax.hessian(lag, argnums=1))(
+            jnp.arange(K), v[:-1], y, zg[:-1])
+
+        def lagK(vk):
+            f0, c = fin_v(vk)
+            return f0 - zg[-1] @ c
+
+        HK = jax.hessian(lagK)(v[-1])
+        return jnp.concatenate([H, HK[None]], axis=0)
 
     def split_blocks(self, vec):
         """Map a variable-space vector to the BFGS block partition
@@ -247,12 +259,12 @@ class Docp:
         """Initial-value rollout from x_0 with the given controls
         (Hqp_Docp::simulate, hqp/Hqp_Docp.C:793-830)."""
         nx = self.nx
-        f_v, _, _ = self._stage_fns()
+        all_v, _ = self._split_fns()
 
         def stepk(x, inp):
             k, vk = inp
             vk = vk.at[:nx].set(x)
-            xn = f_v(k, vk)
+            xn, _, _ = all_v(k, vk)
             return xn, vk
 
         xK, vs = jax.lax.scan(stepk, v[0, :nx],

@@ -350,20 +350,35 @@ modules.register("qp_mat_solver", "RedSpBKP")(DenseKKT)
 class FullStageKKT:
     """Verification backend: lowers a StageQP to one dense saddle system."""
 
-    def factor(self, qp: StageQP, z, w, mask):
-        Hb = _stage_hessians(qp, z, w, mask)      # [K1, nv, nv]
+    @staticmethod
+    def dense_blocks(qp: StageQP, Hb):
+        """Vectorized lowering of stage blocks to one dense (H, A)."""
+        import numpy as np
         K1, nv = Hb.shape[0], Hb.shape[1]
         K, nx = qp.K, qp.nx
         n = K1 * nv
-        H = jnp.zeros((n, n))
-        for k in range(K1):
-            H = H.at[k * nv:(k + 1) * nv, k * nv:(k + 1) * nv].set(Hb[k])
-        A = jnp.zeros((K * nx, n))
-        for k in range(K):
-            A = A.at[k * nx:(k + 1) * nx, k * nv:(k + 1) * nv].set(qp.A[k])
-            A = A.at[k * nx:(k + 1) * nx,
-                     (k + 1) * nv:(k + 1) * nv + nx].set(-jnp.eye(nx))
-        return _saddle_factor(H, A, jnp.ones(K * nx, dtype=bool))
+        # block-diagonal H via a single scatter
+        base = np.arange(K1)[:, None, None] * nv
+        shape3 = (K1, nv, nv)
+        ri = np.broadcast_to(base + np.arange(nv)[None, :, None], shape3)
+        ci = np.broadcast_to(base + np.arange(nv)[None, None, :], shape3)
+        H = jnp.zeros((n, n)).at[ri.ravel(), ci.ravel()].set(Hb.ravel())
+        # dynamics rows [A_k | -I] via two scatters
+        rb = np.arange(K)[:, None, None] * nx
+        ar = rb + np.arange(nx)[None, :, None] + np.zeros((1, 1, nv), int)
+        ac = (np.arange(K)[:, None, None] * nv
+              + np.arange(nv)[None, None, :] + np.zeros((1, nx, 1), int))
+        A = jnp.zeros((K * nx, n)).at[ar.ravel(), ac.ravel()].set(
+            qp.A.ravel())
+        ir = (rb + np.arange(nx)[None, :, None])[:, :, 0]
+        ic = (np.arange(1, K + 1)[:, None] * nv + np.arange(nx)[None, :])
+        A = A.at[ir.ravel(), ic.ravel()].add(-1.0)
+        return H, A
+
+    def factor(self, qp: StageQP, z, w, mask):
+        Hb = _stage_hessians(qp, z, w, mask)      # [K1, nv, nv]
+        H, A = self.dense_blocks(qp, Hb)
+        return _saddle_factor(H, A, jnp.ones(A.shape[0], dtype=bool))
 
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
         g = reduce_r1(qp, z, w, mask, r1, r3, r4)
