@@ -170,11 +170,11 @@ class IMP(Integrator):
                 def it(i, k):
                     J = jax.jacfwd(f)(k)
                     r = f(k)
-                    return k - jnp.linalg.solve(J, r)
+                    return k - sl.solve_nopiv(J, r)
                 return jax.lax.fori_loop(0, self.newton_iters, it, k0)
 
             def tangent_solve(g, y):
-                return jnp.linalg.solve(jax.jacfwd(g)(y), y)
+                return sl.solve_nopiv(jax.jacfwd(g)(y), y)
 
             k0 = self._xdot(F, kk, t, xs, u)
             k = jax.lax.custom_root(res, k0, newton, tangent_solve)
@@ -186,21 +186,23 @@ class IMP(Integrator):
         return jax.lax.fori_loop(0, self.steps, body, x)
 
 
-# Kaps-Rentrop GRK4A coefficients (the reference's omu/Omu_IntGRK4.C is a
-# port of Hairer/Wanner ros4.f with the same family)
-_G_GAMMA = 0.395
-_G_A = [[0.0], [0.438, 0.0], [0.796920457938, 0.0730795420615, 0.0],
-        [0.796920457938, 0.0730795420615, 0.0, 0.0]]
-_G_C = [[0.0],
-        [-0.767672395484, 0.0],
-        [-0.851675323742, 0.522967289188, 0.0],
-        [0.288463109545, 0.0880214273381, -0.337389840627, 0.0]]
-_G_B = [0.199293275701, 0.482645235674, 0.0680614886256, 0.25]
+# Shampine's Rosenbrock parameters (Numerical Recipes "stiff"), same
+# linear-implicit 4th-order family as the reference's ros4.f port
+# (omu/Omu_IntGRK4.C)
+_RB_GAM = 0.5
+_RB_A21 = 2.0
+_RB_A31, _RB_A32 = 48.0 / 25.0, 6.0 / 25.0
+_RB_C21 = -8.0
+_RB_C31, _RB_C32 = 372.0 / 25.0, 12.0 / 5.0
+_RB_C41, _RB_C42, _RB_C43 = -112.0 / 125.0, -54.0 / 125.0, -2.0 / 5.0
+_RB_B1, _RB_B2, _RB_B3, _RB_B4 = 19.0 / 9.0, 0.5, 25.0 / 108.0, 125.0 / 108.0
+_RB_C1X, _RB_C2X, _RB_C3X, _RB_C4X = 0.5, -1.5, 121.0 / 50.0, 29.0 / 250.0
+_RB_A2X, _RB_A3X = 1.0, 3.0 / 5.0
 
 
 @modules.register("prg_integrator", "GRK4")
 class GRK4(Integrator):
-    """4th-order linear-implicit Rosenbrock (Kaps-Rentrop GRK4A), the role
+    """4th-order linear-implicit Rosenbrock (Shampine parameters), the role
     of omu/Omu_IntGRK4.C for stiff systems; one Jacobian + one
     factorization per step, no Newton iteration."""
 
@@ -209,24 +211,26 @@ class GRK4(Integrator):
         n = x.shape[0]
 
         def step(xs, t):
-            f_of = lambda xx: self._xdot(F, kk, t, xx, u)
-            J = jax.jacfwd(f_of)(xs)
-            M = jnp.eye(n) - h * _G_GAMMA * J
-            lu = jnp.linalg.inv(M)  # small n; explicit inverse, fused
+            def f_of(xx, tt):
+                return self._xdot(F, kk, tt, xx, u)
 
-            ks = []
-            for i in range(4):
-                xi = xs
-                for j in range(i):
-                    xi = xi + _G_A[i][j] * ks[j]
-                rhs = f_of(xi)
-                for j in range(i):
-                    rhs = rhs + (_G_C[i][j] / h) * ks[j]
-                ks.append(h * (lu @ rhs))
-            out = xs
-            for i in range(4):
-                out = out + _G_B[i] * ks[i]
-            return out
+            J = jax.jacfwd(f_of, argnums=0)(xs, t)
+            dfdt = jax.jacfwd(f_of, argnums=1)(xs, t)
+            M = jnp.eye(n) / (_RB_GAM * h) - J
+            lu = sl.lu_nopiv(M)
+
+            g1 = sl.lu_nopiv_solve(lu, f_of(xs, t) + h * _RB_C1X * dfdt)
+            g2 = sl.lu_nopiv_solve(
+                lu, f_of(xs + _RB_A21 * g1, t + _RB_A2X * h)
+                + h * _RB_C2X * dfdt + _RB_C21 * g1 / h)
+            x3 = xs + _RB_A31 * g1 + _RB_A32 * g2
+            g3 = sl.lu_nopiv_solve(
+                lu, f_of(x3, t + _RB_A3X * h) + h * _RB_C3X * dfdt
+                + (_RB_C31 * g1 + _RB_C32 * g2) / h)
+            g4 = sl.lu_nopiv_solve(
+                lu, f_of(x3, t + _RB_A3X * h) + h * _RB_C4X * dfdt
+                + (_RB_C41 * g1 + _RB_C42 * g2 + _RB_C43 * g3) / h)
+            return xs + _RB_B1 * g1 + _RB_B2 * g2 + _RB_B3 * g3 + _RB_B4 * g4
 
         def body(i, xs):
             return step(xs, t0 + i * h)

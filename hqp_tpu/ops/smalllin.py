@@ -90,3 +90,49 @@ def cho_solve(L, b):
 def spd_solve(A, b):
     """Solve SPD A x = b by unrolled Cholesky."""
     return cho_solve(chol(A), b)
+
+
+def lu_nopiv(A):
+    """Unrolled LU WITHOUT pivoting (Doolittle), for small well-conditioned
+    systems (integrator stage matrices I/(gamma h) - J, Newton matrices).
+    Returns a single packed matrix (L below diagonal, U on/above)."""
+    n = A.shape[-1]
+    if n > _UNROLL_LIMIT:
+        raise ValueError("lu_nopiv: n too large to unroll")
+    M = A
+    for k in range(n):
+        piv = M[..., k, k]
+        lcol = M[..., k + 1:, k] / piv[..., None]
+        M = M.at[..., k + 1:, k].set(lcol)
+        upd = lcol[..., :, None] * M[..., k, k + 1:][..., None, :]
+        M = M.at[..., k + 1:, k + 1:].add(-upd)
+    return M
+
+
+def lu_nopiv_solve(M, b):
+    """Solve with the packed factor from :func:`lu_nopiv`."""
+    n = M.shape[-1]
+    vec = b.ndim == M.ndim - 1
+    if vec:
+        b = b[..., None]
+    # forward: L y = b (unit diagonal)
+    ys = []
+    for i in range(n):
+        v = b[..., i, :]
+        for k in range(i):
+            v = v - M[..., i, k, None] * ys[k]
+        ys.append(v)
+    # backward: U x = y
+    xs = [None] * n
+    for i in reversed(range(n)):
+        v = ys[i]
+        for k in range(i + 1, n):
+            v = v - M[..., i, k, None] * xs[k]
+        xs[i] = v / M[..., i, i, None]
+    x = jnp.stack(xs, axis=-2)
+    return x[..., 0] if vec else x
+
+
+def solve_nopiv(A, b):
+    """Solve general small A x = b by unrolled pivot-free LU."""
+    return lu_nopiv_solve(lu_nopiv(A), b)
