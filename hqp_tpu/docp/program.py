@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hqp_tpu.qp.program import StageQP
 from hqp_tpu.utils.registry import modules
@@ -43,6 +44,10 @@ class Docp:
     nx: int = 0
     nu: int = 0
     mc: int = 0
+
+    #: relaxation band for fixed (min == max) GENERAL constraints; fixed
+    #: variables are exact equality rows (see setup())
+    fix_band: float = 1e-7
 
     name = "Docp"
 
@@ -98,25 +103,64 @@ class Docp:
         c_min = get("c_min", (K1, mc), -inf)
         c_max = get("c_max", (K1, mc), inf)
 
-        # per-stage variable v_k = (x_k, u_k); u padded to 0 at stage K
-        var_mask = jnp.concatenate(
-            [jnp.ones((K1, nx), bool),
-             jnp.concatenate([jnp.ones((K, nu), bool),
-                              jnp.zeros((1, nu), bool)])], axis=1)
-        lb = jnp.concatenate(
-            [x_min, jnp.concatenate([u_min, jnp.zeros((1, nu))])], axis=1)
-        ub = jnp.concatenate(
-            [x_max, jnp.concatenate([u_max, jnp.zeros((1, nu))])], axis=1)
-        x0 = jnp.concatenate(
-            [x_init, jnp.concatenate([u_init, jnp.zeros((1, nu))])], axis=1)
-        # clip the initial iterate into its bounds where finite
-        x0 = jnp.clip(x0, jnp.where(jnp.isfinite(lb), lb, -inf),
-                      jnp.where(jnp.isfinite(ub), ub, inf))
+        # Fixed variables (min == max; statically known values since bounds
+        # are setup-time arrays) are PINNED: they are not QP variables at
+        # all (var_mask False), their values are held in the iterate, and
+        # the dynamics residuals carry them -- the role of the reference's
+        # equality rows (hqp/Hqp_Docp.C:372 parse_constr _xu_eq bucket),
+        # realized as structural elimination instead of rows.
+        # Fixed GENERAL constraints (c_min == c_max) stay as two-sided
+        # inequalities relaxed by a tiny band to keep a strict interior.
+        fixed_c = jnp.isfinite(c_min) & (c_min == c_max)
+        band = self.fix_band * jnp.maximum(1.0, jnp.abs(jnp.where(
+            jnp.isfinite(c_min), c_min, 0.0)))
+        c_min = jnp.where(fixed_c, c_min - band, c_min)
+        c_max = jnp.where(fixed_c, c_max + band, c_max)
+
+        fx = np.isfinite(np.asarray(x_min)) & (np.asarray(x_min)
+                                               == np.asarray(x_max))
+        fu = np.isfinite(np.asarray(u_min)) & (np.asarray(u_min)
+                                               == np.asarray(u_max))
+
+        # per-stage variable v_k = (x_k, u_k); u padding at stage K and
+        # pinned variables are structurally absent
+        var_mask = np.concatenate(
+            [~fx, np.concatenate([~fu, np.zeros((1, nu), bool)])], axis=1)
+        pin_mask = np.concatenate(
+            [fx, np.concatenate([fu, np.zeros((1, nu), bool)])], axis=1)
+        lb = np.concatenate(
+            [np.asarray(x_min), np.concatenate([np.asarray(u_min),
+                                                np.full((1, nu), -inf)])],
+            axis=1)
+        ub = np.concatenate(
+            [np.asarray(x_max), np.concatenate([np.asarray(u_max),
+                                                np.full((1, nu), inf)])],
+            axis=1)
+        # absent variables carry no bounds
+        lb = np.where(var_mask, lb, -inf)
+        ub = np.where(var_mask, ub, inf)
+        pin_vals = np.where(pin_mask, np.nan_to_num(
+            np.where(pin_mask, np.concatenate(
+                [np.asarray(x_min), np.concatenate(
+                    [np.asarray(u_min), np.zeros((1, nu))])], axis=1), 0.0)),
+            0.0)
+
+        x0 = np.concatenate(
+            [np.asarray(x_init), np.concatenate([np.asarray(u_init),
+                                                 np.zeros((1, nu))])],
+            axis=1)
+        # clip into bounds, then pin fixed values exactly
+        x0 = np.clip(x0, np.where(np.isfinite(lb), lb, -inf),
+                     np.where(np.isfinite(ub), ub, inf))
+        x0 = np.where(pin_mask, pin_vals, x0)
 
         con_mask = jnp.isfinite(c_min) | jnp.isfinite(c_max)
 
-        self._bounds = (lb, ub, c_min, c_max, var_mask, con_mask)
-        return x0
+        self._pin_mask = jnp.asarray(pin_mask)
+        self._pin_vals = jnp.asarray(pin_vals)
+        self._bounds = (jnp.asarray(lb), jnp.asarray(ub), c_min, c_max,
+                        jnp.asarray(var_mask), con_mask)
+        return jnp.asarray(x0)
 
     # vectorized stage evaluations ------------------------------------------
 
@@ -210,10 +254,14 @@ class Docp:
         (hqp/Hqp_SqpSolver.C:430-445), with z an IneqGroups pytree."""
         A, cgrad, C = self.eval_derivs(v)
         lb, ub, c_min, c_max, var_mask, con_mask = self._bounds
-        # adjoint of dynamics
+        fmask = (jnp.isfinite(lb) & jnp.isfinite(ub) & (lb == ub)
+                 & var_mask)
+        # adjoint of dynamics + fixed-variable multipliers
+        yd = y["dyn"]
         out = jnp.zeros_like(v)
-        out = out.at[:-1].add(jnp.einsum("kij,ki->kj", A, y))
-        out = out.at[1:, :self.nx].add(-y)
+        out = out.at[:-1].add(jnp.einsum("kij,ki->kj", A, yd))
+        out = out.at[1:, :self.nx].add(-yd)
+        out = out + jnp.where(fmask, y["fix"], 0.0)
         # bound/constraint multipliers, masking out IP sentinel entries
         zbl = jnp.where(jnp.isfinite(lb) & var_mask, z.bl, 0.0)
         zbu = jnp.where(jnp.isfinite(ub) & var_mask, z.bu, 0.0)
@@ -270,4 +318,6 @@ class Docp:
         xK, vs = jax.lax.scan(stepk, v[0, :nx],
                               (jnp.arange(self.K), v[:-1]))
         vK = v[-1].at[:nx].set(xK)
-        return jnp.concatenate([vs, vK[None]], axis=0)
+        out = jnp.concatenate([vs, vK[None]], axis=0)
+        # re-pin fixed variables the rollout may have overwritten
+        return jnp.where(self._pin_mask, self._pin_vals, out)

@@ -17,6 +17,25 @@ import jax.numpy as jnp
 from hqp_tpu.ops import smalllin as sl
 
 
+def equilibrate(S, U):
+    """Jacobi scaling d = diag(S)^(-1/2) for a block-tridiagonal SPD
+    system; returns (S', U', d) with S' = D S D etc.  The role of the
+    reference's diagonal scaling of the KKT factorization
+    (hqp/Hqp_IpRedSpBKP.C:299-313) -- robustifies the Cholesky when block
+    scales differ by many orders (e.g. 1e-8 Hessian floors against the
+    1e10 fixed-variable penalty)."""
+    d = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(S, axis1=-2, axis2=-1),
+                                1e-300, None))
+    Ss = S * d[..., :, None] * d[..., None, :]
+    Us = U * d[..., :-1, :, None] * d[..., 1:, None, :]
+    return Ss, Us, d
+
+
+def solve_scaled(L, W, d, rhs):
+    """Solve the original system given factors of the equilibrated one."""
+    return d * solve(L, W, d * rhs)
+
+
 def factor(S, U):
     """S: [N, n, n] SPD diagonal blocks; U: [N-1, n, n] upper couplings
     (block (k, k+1)).  Returns (L, W): per-block Cholesky factors and

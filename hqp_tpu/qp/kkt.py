@@ -42,6 +42,10 @@ from jax.scipy.linalg import lu_factor, lu_solve
 
 from hqp_tpu.ops import smalllin as sl
 from hqp_tpu.utils import masked as mk
+
+#: diagonal penalty pinning fixed (min == max) variables; exactness is
+#: restored by iterative refinement against the true KKT system
+FIX_BIG = 1e10
 from hqp_tpu.utils.registry import modules
 from hqp_tpu.qp.program import StageQP, DenseQP, IneqGroups
 
@@ -56,19 +60,25 @@ def barrier_ratios(z, w, mask):
 
 
 def reduce_r1(qp, z, w, mask, r1, r3, r4):
-    """r1_eff = r1 - C'(W^-1 Z r3 + W^-1 r4)."""
+    """r1_eff = r1 - C'(W^-1 Z r3 + W^-1 r4), zeroed on absent variables
+    (their rows are identity rows pinning the step to zero)."""
     t = mk.tmap(
         lambda zi, wi, r3i, r4i, m: jnp.where(m, (zi * r3i + r4i) / wi, 0.0),
         z, w, r3, r4, mask,
     )
-    return r1 - qp.matvec_ineqT(t)
+    return jnp.where(qp.x_mask(), r1 - qp.matvec_ineqT(t), 0.0)
 
 
 def kkt_residual(qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw):
     """Residual of the full 4x4 KKT system and its infinity norm
     (Hqp_IpMatrix::residuum, hqp/Hqp_IpMatrix.C:131-180)."""
-    e1 = r1 + qp.matvec_Q(dx) - qp.matvec_eqT(dy) - qp.matvec_ineqT(dz)
-    e2 = r2 - (qp.eval_eq(dx) - qp.eq_offsets())
+    emask = qp.eq_mask()
+    e1 = jnp.where(
+        qp.x_mask(),
+        r1 + qp.matvec_Q(dx) - qp.matvec_eqT(dy) - qp.matvec_ineqT(dz),
+        0.0)
+    Adx = mk.sub(qp.eval_eq(dx), qp.eq_offsets())
+    e2 = mk.where(emask, mk.sub(r2, Adx), 0.0)
     Cdx = qp.matvec_ineq(dx)
     e3 = mk.where(mask, mk.tmap(lambda a, b, c: a - (b - c), r3, Cdx, dw),
                   0.0)
@@ -77,7 +87,7 @@ def kkt_residual(qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw):
                                                           + wi * dzi),
                           r4, z, w, dz, dw), 0.0)
     res = jnp.maximum(
-        jnp.maximum(mk.norm_inf(e1), mk.norm_inf(e2)),
+        jnp.maximum(mk.norm_inf(e1), mk.norm_inf(e2, emask)),
         jnp.maximum(mk.norm_inf(e3, mask), mk.norm_inf(e4, mask)))
     return e1, e2, e3, e4, res
 
@@ -101,7 +111,7 @@ def refine(solve_fn, qp, z, w, mask, r1, r2, r3, r4, sol,
         e1, e2, e3, e4, _ = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
                                          dx, dy, dz, dw)
         cx, cy, cz, cw = solve_fn(e1, e2, e3, e4)
-        nx_, ny_, nz_, nw_ = (dx + cx, dy + cy, mk.add(dz, cz),
+        nx_, ny_, nz_, nw_ = (dx + cx, mk.add(dy, cy), mk.add(dz, cz),
                               mk.add(dw, cw))
         *_, nres = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
                                 nx_, ny_, nz_, nw_)
@@ -116,6 +126,14 @@ def refine(solve_fn, qp, z, w, mask, r1, r2, r3, r4, sol,
         cond, body, ((dx, dy, dz, dw), res0, jnp.asarray(0),
                      jnp.asarray(True)))
     return dx, dy, dz, dw
+
+
+def reduced_H_matvec(qp, z, w, mask, dx):
+    """(Q + C' W^-1 Z C) dx -- the reduced Hessian operator."""
+    sig = barrier_ratios(z, w, mask)
+    Cdx = qp.matvec_ineq(dx)
+    return qp.matvec_Q(dx) + qp.matvec_ineqT(
+        mk.tmap(lambda s, c: s * c, sig, Cdx))
 
 
 def recover_zw(qp, z, w, mask, dx, r3, r4):
@@ -155,7 +173,8 @@ def _stage_hessians(qp: StageQP, z: IneqGroups, w: IneqGroups,
 
     Box bounds enter as pure diagonal terms -- the TPU-native replacement of
     the reference's sparse +-e_i constraint rows (hqp/Hqp_Docp.C:585-758)
-    flowing through sub_CTC (hqp/Hqp_IpRedSpBKP.C:297).
+    flowing through sub_CTC (hqp/Hqp_IpRedSpBKP.C:297).  Absent variables
+    (x_mask False) are projected out: identity rows/columns.
     """
     sig = barrier_ratios(z, w, mask)
     diag_box = sig.bl + sig.bu                       # [K1, nv]
@@ -164,6 +183,9 @@ def _stage_hessians(qp: StageQP, z: IneqGroups, w: IneqGroups,
                           jnp.swapaxes(qp.C, 1, 2), sgen,
                           jnp.swapaxes(qp.C, 1, 2))
     H = H + jnp.einsum("ki,ij->kij", diag_box, jnp.eye(qp.nv))
+    vm = qp.x_mask().astype(H.dtype)
+    H = H * vm[:, :, None] * vm[:, None, :]
+    H = H + jnp.einsum("ki,ij->kij", 1.0 - vm, jnp.eye(qp.nv))
     return H
 
 
@@ -186,6 +208,12 @@ class RiccatiKKT:
     def factor(self, qp: StageQP, z, w, mask):
         H = _stage_hessians(qp, z, w, mask)
         nx, nu, nv = qp.nx, qp.nu, qp.nv
+        # fixed variables: large diagonal penalty; exactness restored by
+        # iterative refinement against the true KKT system (see the
+        # PartitionedKKT docstring for the scheme)
+        H = H + jnp.einsum("ki,ij->kij",
+                           qp.fixed_mask().astype(H.dtype) * FIX_BIG,
+                           jnp.eye(nv))
         eyeu = self.reg * jnp.eye(nu)
         # terminal stage: eliminate the (padded) u-block by Schur complement
         HK = H[-1]
@@ -207,8 +235,9 @@ class RiccatiKKT:
             Pk = 0.5 * (Pk + Pk.T)
             return Pk, (Luu, Gux, Kg, P)
 
+        Am = qp.A_masked()
         P0, (Luu_r, Gux_r, Kg_r, Pnext_r) = jax.lax.scan(
-            bwd, PK, (H[:-1][::-1], qp.A[::-1])
+            bwd, PK, (H[:-1][::-1], Am[::-1])
         )
         Luu, Gux, Kg = Luu_r[::-1], Gux_r[::-1], Kg_r[::-1]
         P = jnp.concatenate([P0[None], Pnext_r[::-1]], axis=0)  # P_0..P_K
@@ -220,7 +249,9 @@ class RiccatiKKT:
         """Solve  H dx - A' dy = -g,  A_k v_k - dx_{k+1} = r2_k."""
         nx = qp.nx
         gx, gu = g[:, :nx], g[:, nx:]
-        Ax, Au = qp.A[:, :, :nx], qp.A[:, :, nx:]
+        Am = qp.A_masked()
+        Ax, Au = Am[:, :, :nx], Am[:, :, nx:]
+        xcm = qp.xcoupling_mask().astype(g.dtype)   # [K, nx]
 
         # backward sweep for the linear cost-to-go p_k and feedforward bu_k
         def bwd(p, inp):
@@ -244,15 +275,15 @@ class RiccatiKKT:
         # The recursion's costate is the negative of the saddle system's dy
         # ( -H dx + A' dy = r1_eff ), hence the sign flip on y.
         def fwd(dxk, inp):
-            Kg, buk, Pn, pn, Ak, r2k = inp
+            Kg, buk, Pn, pn, Ak, r2k, xmk = inp
             du = buk - Kg @ dxk
             v = jnp.concatenate([dxk, du])
-            dxn = Ak @ v - r2k
+            dxn = (Ak @ v - r2k) * xmk
             y = -(Pn @ dxn + pn)
             return dxn, (v, y)
 
         dxK, (v, dy) = jax.lax.scan(
-            fwd, dx0, (fac.Kgain, bu, fac.P[1:], pnext, qp.A, r2)
+            fwd, dx0, (fac.Kgain, bu, fac.P[1:], pnext, Am, r2, xcm)
         )
         duK = -(sl.cho_solve(fac.LuuK, gu[-1]) + fac.KgainK @ dxK)
         vK = jnp.concatenate([dxK, duK])[None]
@@ -260,11 +291,20 @@ class RiccatiKKT:
         return dx, dy
 
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
+        fm = qp.fixed_mask()
+
         def base(a1, a2, a3, a4):
             g = reduce_r1(qp, z, w, mask, a1, a3, a4)
-            dx, dy = self.solve_reduced(fac, qp, g, a2)
+            tau = jnp.where(fm, a2["fix"], 0.0)
+            dx, dyd = self.solve_reduced(fac, qp, g - FIX_BIG * tau,
+                                         a2["dyn"])
+            # fixed-variable multipliers from exact stationarity
+            Hdx = reduced_H_matvec(qp, z, w, mask, dx)
+            AdT = qp.matvec_eqT(
+                {"dyn": dyd, "fix": jnp.zeros_like(g)})
+            dyf = jnp.where(fm, g + Hdx - AdT, 0.0)
             dz, dw = recover_zw(qp, z, w, mask, dx, a3, a4)
-            return dx, dy, dz, dw
+            return dx, {"dyn": dyd, "fix": dyf}, dz, dw
 
         sol = base(r1, r2, r3, r4)
         if self.refine_rounds > 0:
@@ -369,23 +409,35 @@ class FullStageKKT:
         ac = (np.arange(K)[:, None, None] * nv
               + np.arange(nv)[None, None, :] + np.zeros((1, nx, 1), int))
         A = jnp.zeros((K * nx, n)).at[ar.ravel(), ac.ravel()].set(
-            qp.A.ravel())
+            qp.A_masked().ravel())
         ir = (rb + np.arange(nx)[None, :, None])[:, :, 0]
         ic = (np.arange(1, K + 1)[:, None] * nv + np.arange(nx)[None, :])
-        A = A.at[ir.ravel(), ic.ravel()].add(-1.0)
+        A = A.at[ir.ravel(), ic.ravel()].add(
+            -qp.xcoupling_mask().astype(A.dtype).ravel())
         return H, A
 
     def factor(self, qp: StageQP, z, w, mask):
         Hb = _stage_hessians(qp, z, w, mask)      # [K1, nv, nv]
         H, A = self.dense_blocks(qp, Hb)
-        return _saddle_factor(H, A, jnp.ones(A.shape[0], dtype=bool))
+        n = H.shape[0]
+        # fixed-variable equality rows: identity rows masked by fixed_mask
+        fm = qp.fixed_mask().reshape(-1)
+        A_all = jnp.concatenate([A, jnp.eye(n)], axis=0)
+        emask = jnp.concatenate([jnp.ones(A.shape[0], dtype=bool), fm])
+        return _saddle_factor(H, A_all, emask)
 
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
         g = reduce_r1(qp, z, w, mask, r1, r3, r4)
         n = (qp.K + 1) * qp.nv
-        dxf, dyf = _saddle_solve(fac, n, g.reshape(-1), r2.reshape(-1))
+        fm = qp.fixed_mask().reshape(-1)
+        r2f = jnp.concatenate([r2["dyn"].reshape(-1),
+                               jnp.where(fm, r2["fix"].reshape(-1), 0.0)])
+        dxf, dyf = _saddle_solve(fac, n, g.reshape(-1), r2f)
         dx = dxf.reshape(qp.K + 1, qp.nv)
-        dy = dyf.reshape(qp.K, qp.nx)
+        ndyn = qp.K * qp.nx
+        dy = {"dyn": dyf[:ndyn].reshape(qp.K, qp.nx),
+              "fix": jnp.where(fm, dyf[ndyn:], 0.0).reshape(qp.K + 1,
+                                                            qp.nv)}
         dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)
         return dx, dy, dz, dw
 

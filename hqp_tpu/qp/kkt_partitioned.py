@@ -1,27 +1,27 @@
 """Partitioned Schur-complement KKT backend ("SpSC").
 
 The TPU-native successor of the reference's Schur-complement path
-(hqp/Hqp_IpSpSC.C: form Q+C'VC, sparse Cholesky, Schur complement for the
-equality multipliers) and of the stage-parallel decomposition that
-SURVEY.md section 2.7.3 calls for: instead of the strictly sequential
-Riccati recursion (hqp/Hqp_IpLQDOCP.C:1328, O(K) serial chain), the horizon
-is split into P partitions of L stages.  Interior variables of every
-partition are eliminated **in parallel** (batched LU over the partition
-axis -- large batched matmuls on the MXU), leaving a small block-tridiagonal
-master system in the P+1 partition-boundary states, solved by a short scan.
+(hqp/Hqp_IpSpSC.C) combined with the stage-parallel decomposition
+SURVEY.md section 2.7.3 calls for: the horizon is split into P partitions
+of L stages; interior variables of every partition are eliminated **in
+parallel** (batched pivoted LU over the partition axis), leaving a small
+SPD block-tridiagonal master system in the P+1 partition-boundary states,
+factored by an equilibrated block Cholesky (unrolled kernels).
 
-Math: the reduced saddle system  [-H A'; A 0] [dx; dy] = [g; r2]  is
-reordered into interior unknowns (u at partition starts, full stage
-variables inside, all dynamics multipliers) and boundary unknowns (the
-states x_{pL}).  With M_II block-diagonal over partitions,
+The pivoted interior LU is the robustness backbone (the role of the
+reference's Bunch-Kaufman pivoting, hqp/spBKP.C): stage Hessians mix
+scales across many orders (quasi-Newton floors of 1e-8 against barrier
+terms of 1e8), which defeats pivot-free range-space eliminations.  On
+CPU the LU runs in f64; on TPU (which implements LuDecomposition only in
+f32) it runs in f32 with f64 iterative refinement layered on top
+(hqp/Hqp_IpMatrix.C's own strategy).
 
-    master Schur:  (M_BB - M_BI M_II^-1 M_IB) x_B = rho_B - M_BI M_II^-1 rho_I
+Structurally absent variables (x_mask False: padding and variables pinned
+to statically-known fixed values) get identity rows; dynamically fixed
+variables (lb == ub at runtime) are pinned by a large diagonal penalty
+with multipliers recovered from stationarity, made exact by refinement.
 
-Each partition couples only to its two boundary states, so the master is
-block-tridiagonal with nx-size blocks.  Back-substitution is batched.
-
-This backend is algebraically exact (same solution as RiccatiKKT /
-FullStageKKT) -- verified in tests/test_kkt_partitioned.py.
+Algebraically exact vs the dense full-KKT oracle: tests/test_kkt_partitioned.py.
 """
 
 from __future__ import annotations
@@ -38,6 +38,8 @@ from hqp_tpu.utils.registry import modules
 from hqp_tpu.qp.program import StageQP
 from hqp_tpu.qp import kkt as K_
 
+BIG = K_.FIX_BIG
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -46,9 +48,9 @@ class PartFactors:
     piv: jnp.ndarray      # [P, s]
     W: jnp.ndarray        # [P, s, 2nx]  M_II^-1 M_IB
     MIB: jnp.ndarray      # [P, s, 2nx]
-    # master: SPD block-tridiagonal Cholesky of -(boundary Schur system)
-    Lb: jnp.ndarray       # [P+1, nx, nx]
+    Lb: jnp.ndarray       # [P+1, nx, nx] master chol (equilibrated)
     Wb: jnp.ndarray       # [P, nx, nx]
+    dM: jnp.ndarray       # [P+1, nx] Jacobi scaling of the master
     LuuK: jnp.ndarray     # [nu, nu] terminal u-block Cholesky
     KgainK: jnp.ndarray   # [nu, nx]
 
@@ -62,17 +64,25 @@ class PartitionedKKT:
     """Stage-partitioned Schur-complement factorization of a StageQP KKT."""
 
     def __init__(self, L: int = 16, refine_eps: float = 1e-10,
-                 refine_rounds: int = 5):
+                 refine_rounds: int = 8, dual_reg: float = 1e-8):
         self.L = L
         self.refine_eps = refine_eps
         self.refine_rounds = refine_rounds
+        # Dual regularization +delta I on the interior multiplier block:
+        # uncontrollable carry-through state chains (e.g. a free-final-time
+        # parameter state, odc/Prg_Crane.C's x[0]) make the interior
+        # dynamics rows linearly dependent -- their boundary couplings
+        # telescope out of M_II.  The regularized Schur complement turns
+        # the lost constraint into a 1/delta penalty between the partition
+        # boundaries (exact in the limit); iterative refinement restores
+        # full accuracy.
+        self.dual_reg = dual_reg
 
     def _choose_L(self, K, nx, nu):
-        """Pick a partition length: a divisor of K, as close to the
-        requested L as possible but at least ceil(nx/nu) + 1 -- below that
-        the interior saddle is structurally singular (the L*nx interior
-        dynamics rows outnumber the nu + (L-1)(nx+nu) interior columns)."""
-        Lmin = max(2, -(-nx // max(nu, 1)))
+        """A divisor of K close to the requested L, at least ceil(nx/nu)+1
+        (below that the interior dynamics rows outnumber the interior
+        columns and the interior saddle is structurally singular)."""
+        Lmin = max(2, -(-nx // max(nu, 1)) + 1)
         for L in range(min(self.L, K), 0, -1):
             if K % L == 0 and L >= Lmin:
                 return L
@@ -91,27 +101,31 @@ class PartitionedKKT:
         off_u, off_v, off_y = 0, nu, nu + (L - 1) * nv
         return L, P, s, (off_u, off_v, off_y)
 
+    @staticmethod
+    def _coupling_masks(qp: StageQP, L, P):
+        """Masks for the -I couplings: interior states (stages pL+1 ..
+        pL+L-1) and partition-end boundary states (stages L, 2L, ...)."""
+        xs = qp.var_mask[:, : qp.nx].astype(qp.A.dtype)   # [K1, nx]
+        mm_int = xs[: qp.K].reshape(P, L, qp.nx)[:, 1:]
+        mm_e = xs[L:: L]
+        return mm_int, mm_e
+
     # -- assembly ------------------------------------------------------------
 
     def _assemble(self, qp: StageQP, H):
-        """Build per-partition interior blocks and couplings.
-
-        Interior variable order per partition p (stages k = pL .. pL+L-1):
-          [ u_{pL} | v_{pL+1} ... v_{pL+L-1} | y_{pL} ... y_{pL+L-1} ]
-        Boundary variables: x_{pL}, p = 0..P (x_K is the last boundary).
-        """
+        """Per-partition interior saddle blocks and boundary couplings."""
         Kst, nx, nu, nv = qp.K, qp.nx, qp.nu, qp.nv
         L, P, s, (off_u, off_v, off_y) = self._layout(qp)
 
-        Hs = H[:-1].reshape(P, L, nv, nv)       # stage Hessians, k < K
-        As = qp.A.reshape(P, L, nx, nv)
+        Hs = H[:-1].reshape(P, L, nv, nv)
+        As = qp.A_masked().reshape(P, L, nx, nv)
+        mm_int, mm_e = self._coupling_masks(qp, L, P)
 
-        def build(Hp, Ap):
+        def build(Hp, Ap, mi, me):
             M = jnp.zeros((s, s))
             B = jnp.zeros((s, 2 * nx))          # cols: [x_s | x_e]
 
-            # stationarity of u_{pL}: -Huu u - Hux x_s + Au' y_0 = ...
-            # (saddle sign convention: [-H A'; A 0])
+            # stationarity of u_{pL} (saddle sign convention [-H A'; A 0])
             M = M.at[off_u:off_u + nu, off_u:off_u + nu].set(
                 -Hp[0, nx:, nx:])
             B = B.at[off_u:off_u + nu, :nx].set(-Hp[0, nx:, :nx])
@@ -122,16 +136,17 @@ class PartitionedKKT:
             for j in range(1, L):
                 r = off_v + (j - 1) * nv
                 M = M.at[r:r + nv, r:r + nv].set(-Hp[j])
-                # A_j' y_j
                 yj = off_y + j * nx
                 M = M.at[r:r + nv, yj:yj + nx].set(Ap[j].T)
-                # -I' y_{j-1} on the x-part (x_j appears in dynamics j-1)
                 yjm = off_y + (j - 1) * nx
-                M = M.at[r:r + nx, yjm:yjm + nx].add(-jnp.eye(nx))
+                M = M.at[r:r + nx, yjm:yjm + nx].add(
+                    -jnp.diag(mi[j - 1]))
 
             # dynamics rows y_j: A_j v_j - x_{j+1} = r2_j
             for j in range(L):
                 yj = off_y + j * nx
+                M = M.at[yj:yj + nx, yj:yj + nx].add(
+                    self.dual_reg * jnp.eye(nx))
                 if j == 0:
                     B = B.at[yj:yj + nx, :nx].set(Ap[0, :, :nx])
                     M = M.at[yj:yj + nx, off_u:off_u + nu].set(
@@ -141,17 +156,22 @@ class PartitionedKKT:
                     M = M.at[yj:yj + nx, r:r + nv].set(Ap[j])
                 if j < L - 1:
                     r = off_v + j * nv
-                    M = M.at[yj:yj + nx, r:r + nx].add(-jnp.eye(nx))
+                    M = M.at[yj:yj + nx, r:r + nx].add(-jnp.diag(mi[j]))
                 else:
-                    B = B.at[yj:yj + nx, nx:].set(-jnp.eye(nx))
+                    B = B.at[yj:yj + nx, nx:].set(-jnp.diag(me))
             return M, B
 
-        MII, MIB = jax.vmap(build)(Hs, As)
+        MII, MIB = jax.vmap(build)(Hs, As, mm_int, mm_e)
         return L, P, s, (off_u, off_v, off_y), MII, MIB
 
     def factor(self, qp: StageQP, z, w, mask):
+        nx, nu, nv = qp.nx, qp.nu, qp.nv
         H = K_._stage_hessians(qp, z, w, mask)
-        nx, nu = qp.nx, qp.nu
+        # dynamically fixed (lb == ub) variables: penalty + refinement
+        fm = qp.fixed_mask()
+        H = H + jnp.einsum("ki,ij->kij", fm.astype(H.dtype) * BIG,
+                           jnp.eye(nv))
+
         L, P, s, offs, MII, MIB = self._assemble(qp, H)
 
         lu, piv = jax.vmap(lu_factor)(MII.astype(K_.lu_dtype()))
@@ -164,8 +184,7 @@ class PartitionedKKT:
         KgainK = sl.cho_solve(LuuK, HK[nx:, :nx])
         PKxx = HK[:nx, :nx] - HK[:nx, nx:] @ KgainK
 
-        # master block-tridiagonal assembly
-        # boundary stationarity rows: -Hxx(boundary) dx_B + couplings
+        # master block-tridiagonal assembly (negative definite)
         Hb = H[::L][:, :nx, :nx]                 # [P+1, nx, nx] (k = pL)
         D = -Hb
         D = D.at[-1].set(-PKxx)
@@ -174,26 +193,21 @@ class PartitionedKKT:
         D = D.at[1:].add(Schur[:, nx:, nx:])
         Off = Schur[:, :nx, nx:]                 # couples x_p to x_{p+1}
 
-        # The boundary Schur system is the negative of an SPD condensed
-        # Hessian (inertia argument: all dynamics rows are interior, so the
-        # Schur complement of the saddle onto the primal boundary block is
-        # negative definite).  Factor -(D, Off) by SPD block-tridiagonal
-        # Cholesky with unrolled kernels.
-        Lb, Wb = blocktri.factor(-D, -Off)
+        Sm, Um, dM = blocktri.equilibrate(-D, -Off)
+        Lb, Wb = blocktri.factor(Sm, Um)
         return PartFactors(lu=lu, piv=piv, W=W, MIB=MIB, Lb=Lb, Wb=Wb,
-                           LuuK=LuuK, KgainK=KgainK)
+                           dM=dM, LuuK=LuuK, KgainK=KgainK)
 
     # -- solve ---------------------------------------------------------------
 
-    def solve_reduced(self, fac: PartFactors, qp: StageQP, g, r2):
+    def solve_reduced(self, fac: PartFactors, qp: StageQP, g, r2dyn):
         """Solve [-H A'; A 0][dx; dy] = [g; r2] via the partition Schur."""
         Kst, nx, nu, nv = qp.K, qp.nx, qp.nu, qp.nv
         L, P, s, (off_u, off_v, off_y) = self._layout(qp)
         gx, gu = g[:, :nx], g[:, nx:]
 
-        # interior rhs per partition
         gsp = g[:-1].reshape(P, L, nv)
-        r2p = r2.reshape(P, L, nx)
+        r2p = r2dyn.reshape(P, L, nx)
 
         def build_rhs(gp, rp):
             rho = jnp.zeros((s,))
@@ -205,26 +219,22 @@ class PartitionedKKT:
 
         rhoI = jax.vmap(build_rhs)(gsp, r2p)
 
-        # boundary rhs: stationarity of x_{pL}; terminal includes the
-        # u-elimination correction
         rhoB = gx[::L]
         rhoB = rhoB.at[-1].set(gx[-1] - fac.KgainK.T @ gu[-1])
 
-        # forward Schur: condense interior onto boundaries
+        # condense interiors onto boundaries
         t = jax.vmap(lambda l, p, b: lu_solve((l, p), b))(
             fac.lu, fac.piv, rhoI.astype(fac.lu.dtype)).astype(rhoI.dtype)
         corr = jnp.einsum("psb,ps->pb", fac.MIB, t)     # [P, 2nx]
         rhoB = rhoB.at[:-1].add(-corr[:, :nx])
         rhoB = rhoB.at[1:].add(-corr[:, nx:])
 
-        # master solve: the assembled system is -(SPD); flip the rhs sign
-        xB = blocktri.solve(fac.Lb, fac.Wb, -rhoB)       # [P+1, nx]
+        xB = blocktri.solve_scaled(fac.Lb, fac.Wb, fac.dM, -rhoB)
 
         # back-substitute interiors (batched)
         xpair = jnp.concatenate([xB[:-1], xB[1:]], axis=1)   # [P, 2nx]
         zeta = t - jnp.einsum("psb,pb->ps", fac.W, xpair)
 
-        # scatter back into (dx, dy)
         u0 = zeta[:, off_u:off_u + nu]                   # [P, nu]
         vint = zeta[:, off_v:off_v + (L - 1) * nv].reshape(P, L - 1, nv)
         vfull = jnp.concatenate(
@@ -234,17 +244,23 @@ class PartitionedKKT:
         dx = jnp.concatenate(
             [vfull.reshape(P * L, nv),
              jnp.concatenate([xB[-1], duK])[None]], axis=0)
-
         dy = zeta[:, off_y:off_y + L * nx].reshape(P * L, nx)
-        # interior block solved [-H A'; A 0] directly; dy sign matches
         return dx, dy
 
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
+        fm = qp.fixed_mask()
+
         def base(a1, a2, a3, a4):
             g = K_.reduce_r1(qp, z, w, mask, a1, a3, a4)
-            dx, dy = self.solve_reduced(fac, qp, g, a2)
+            tau = jnp.where(fm, a2["fix"], 0.0)
+            dx, dyd = self.solve_reduced(fac, qp, g - BIG * tau, a2["dyn"])
+            # dynamically fixed multipliers from exact stationarity
+            Hdx = K_.reduced_H_matvec(qp, z, w, mask, dx)
+            AdT = qp.matvec_eqT({"dyn": dyd,
+                                 "fix": jnp.zeros_like(g)})
+            dyf = jnp.where(fm, g + Hdx - AdT, 0.0)
             dz, dw = K_.recover_zw(qp, z, w, mask, dx, a3, a4)
-            return dx, dy, dz, dw
+            return dx, {"dyn": dyd, "fix": dyf}, dz, dw
 
         sol = base(r1, r2, r3, r4)
         if self.refine_rounds > 0:

@@ -76,13 +76,14 @@ class Mehrotra:
     """Mehrotra predictor-corrector IP solver over an exchangeable backend."""
 
     def __init__(self, backend=None, eps=1e-9, max_iters=50, max_warm_iters=25,
-                 gammaf=0.01, init_method=0):
+                 gammaf=0.01, init_method=0, mod_terlaky=True):
         self.backend = backend
         self.eps = eps
         self.max_iters = max_iters
         self.max_warm_iters = max_warm_iters
         self.gammaf = gammaf
         self.init_method = init_method
+        self.mod_terlaky = mod_terlaky
 
     # -- state construction --------------------------------------------------
 
@@ -90,7 +91,7 @@ class Mehrotra:
         mask = qp.ineq_mask()
         ones = mk.fill(mk.tmap(lambda m: m.astype(jnp.float64), mask), 1.0)
         x = qp.zero_x()
-        y = jnp.zeros_like(qp.eq_offsets())
+        y = mk.fill(qp.eq_offsets(), 0.0)
         return IPState(
             x=x, y=y, z=ones, w=ones, z_hot=ones, w_hot=ones,
             iter=jnp.asarray(0), result=jnp.asarray(ITERATING),
@@ -113,7 +114,7 @@ class Mehrotra:
         if self._no_ineq(qp):
             # program without inequality constraints (C:322-327)
             return dataclasses.replace(
-                state, x=qp.zero_x(), y=jnp.zeros_like(qp.eq_offsets()),
+                state, x=qp.zero_x(), y=mk.fill(qp.eq_offsets(), 0.0),
                 iter=jnp.asarray(0), result=jnp.asarray(ITERATING),
                 test=jnp.asarray(jnp.inf), alpha=jnp.asarray(1.0),
                 phimin=jnp.zeros(self.max_iters + 1))
@@ -130,8 +131,8 @@ class Mehrotra:
         else:
             w = ones
 
-        r1 = qp.c
-        r2 = -qp.eq_offsets()
+        r1 = jnp.where(qp.x_mask(), qp.c, 0.0)
+        r2 = mk.scale(-1.0, qp.eq_offsets())
         r3 = mk.where(mask, mk.scale(-1.0, qp.ineq_offsets()), 0.0)
         if self.init_method:
             r4 = mk.where(mask, mk.tmap(lambda a, b: -a * b, z, w), 0.0)
@@ -194,17 +195,21 @@ class Mehrotra:
 
         # residuals of the KKT conditions (C:425-445)
         Qx = qp.matvec_Q(x)
-        gap = (mk.inner(x, Qx + qp.c) + mk.inner(y, qp.eq_offsets())
+        gap = (mk.inner(x, Qx + qp.c)
+               + mk.inner(y, qp.eq_offsets(), qp.eq_mask())
                + mk.inner(z, qp.ineq_offsets(), mask))
-        r1 = Qx + qp.c - qp.matvec_eqT(y) - qp.matvec_ineqT(
-            mk.where(mask, z, 0.0))
-        r2 = -qp.eval_eq(x)
+        r1 = jnp.where(
+            qp.x_mask(),
+            Qx + qp.c - qp.matvec_eqT(y) - qp.matvec_ineqT(
+                mk.where(mask, z, 0.0)), 0.0)
+        r2 = mk.scale(-1.0, qp.eval_eq(x))
         r3 = mk.where(mask, mk.sub(w, qp.eval_ineq(x)), 0.0)
         r4 = mk.where(mask, mk.tmap(lambda a, b: -a * b, z, w), 0.0)
         mu = mk.inner(z, w, mask) / m
 
-        norm_r = jnp.maximum(jnp.maximum(mk.norm_inf(r1), mk.norm_inf(r2)),
-                             mk.norm_inf(r3, mask))
+        norm_r = jnp.maximum(
+            jnp.maximum(mk.norm_inf(r1), mk.norm_inf(r2, qp.eq_mask())),
+            mk.norm_inf(r3, mask))
         norm_data = qp.norm_data()
 
         first = state.iter == 0
@@ -255,15 +260,6 @@ class Mehrotra:
                 jnp.minimum(mk.ratio_min(z, dza, mask),
                             mk.ratio_min(w, dwa, mask)), 0.0, 1.0)
 
-            # Terlaky centering (C:584-591)
-            gamma = 1.0e-4 ** 0.25
-            t = mk.vmax(
-                mk.tmap(lambda a, b, zi, wi:
-                        jnp.where(a * b > 0.0, a * b / zi / wi, 0.0),
-                        dza, dwa, z, w), mask)
-            t = jnp.maximum(t, 0.0)
-            sigma = gamma * (t + 1.0 - alpha_aff) / (1.0 - gamma)
-
             def corrector(sig):
                 smm = sig * mu
                 r4c = mk.where(
@@ -273,38 +269,91 @@ class Mehrotra:
                 return self.backend.solve(fac, qp, z, w, mask,
                                           r1, r2, r3, r4c)
 
-            dx, dy, dz, dw = corrector(sigma)
-            alpha_corr = jnp.clip(
-                jnp.minimum(mk.ratio_min(z, dz, mask),
-                            mk.ratio_min(w, dw, mask)), 0.0, 1.0)
+            if self.mod_terlaky:
+                # Terlaky centering (C:584-591)
+                gamma = 1.0e-4 ** 0.25
+                t = mk.vmax(
+                    mk.tmap(lambda a, b, zi, wi:
+                            jnp.where(a * b > 0.0, a * b / zi / wi, 0.0),
+                            dza, dwa, z, w), mask)
+                t = jnp.maximum(t, 0.0)
+                sigma = gamma * (t + 1.0 - alpha_aff) / (1.0 - gamma)
 
-            # fall back to pure centering when the corrector is blocked
-            # (Terlaky modification, C:604-623)
-            redo = (alpha_aff < 0.1) | \
-                (alpha_corr < gamma * gamma / 2.0 / m / m)
-            dx, dy, dz, dw = jax.lax.cond(
-                redo, lambda: corrector(gamma / (1.0 - gamma)),
-                lambda: (dx, dy, dz, dw))
+                dx, dy, dz, dw = corrector(sigma)
+                alpha_corr = jnp.clip(
+                    jnp.minimum(mk.ratio_min(z, dz, mask),
+                                mk.ratio_min(w, dw, mask)), 0.0, 1.0)
+
+                # fall back to pure centering when the corrector is blocked
+                # (Terlaky modification, C:604-623)
+                redo = (alpha_aff < 0.1) | \
+                    (alpha_corr < gamma * gamma / 2.0 / m / m)
+                dx, dy, dz, dw = jax.lax.cond(
+                    redo, lambda: corrector(gamma / (1.0 - gamma)),
+                    lambda: (dx, dy, dz, dw))
+            else:
+                # Mehrotra's original centering (C:578-583)
+                zp = mk.where(mask, mk.axpy(alpha_aff, dza, z), 0.0)
+                wp = mk.where(mask, mk.axpy(alpha_aff, dwa, w), 0.0)
+                mu_aff = mk.inner(zp, wp, mask) / m
+                sigma = (mu_aff / mu) ** 3.0
+                dx, dy, dz, dw = corrector(sigma)
 
             # Mehrotra's adaptive step size (C:625-669)
             alpha = self._adaptive_alpha(z, w, dz, dw, mask, m)
 
+            # Gondzio multiple centrality correctors (beyond the reference;
+            # Gondzio 1996): push the trial complementarity products into
+            # [beta_min, beta_max]*sigma*mu by extra correction solves with
+            # the same factorization, accepting a corrector only if it
+            # enlarges the step.  Cures the bad-centering stalls the plain
+            # predictor-corrector hits on degenerate QPs.
+            mu_t = jnp.maximum(sigma * mu, 1e-30)
+
+            def gondzio_round(carry, _):
+                dx, dy, dz, dw, alpha = carry
+                abar = jnp.minimum(1.0, 2.0 * alpha + 0.1)
+                zt = mk.where(mask, mk.axpy(abar, dz, z), 1.0)
+                wt = mk.where(mask, mk.axpy(abar, dw, w), 1.0)
+                pr = mk.tmap(lambda a, b: a * b, zt, wt)
+                tgt = mk.tmap(
+                    lambda p: jnp.clip(p, 0.1 * mu_t, 10.0 * mu_t), pr)
+                r4g = mk.where(mask, mk.sub(tgt, pr), 0.0)
+                zero1 = jnp.zeros_like(r1)
+                zero2 = mk.fill(r2, 0.0)
+                zero3 = mk.fill(r3, 0.0)
+                cx, cy, cz, cw = self.backend.solve(
+                    fac, qp, z, w, mask, zero1, zero2, zero3, r4g)
+                nx_, ny_ = dx + cx, mk.add(dy, cy)
+                nz_, nw_ = mk.add(dz, cz), mk.add(dw, cw)
+                na = self._adaptive_alpha(z, w, nz_, nw_, mask, m)
+                take = na > alpha
+                sel = lambda a, b: jax.tree_util.tree_map(
+                    lambda ai, bi: jnp.where(take, ai, bi), a, b)
+                return (sel(nx_, dx), sel(ny_, dy), sel(nz_, dz),
+                        sel(nw_, dw), jnp.where(take, na, alpha)), None
+
+            (dx, dy, dz, dw, alpha), _ = jax.lax.scan(
+                gondzio_round, (dx, dy, dz, dw, alpha), None, length=2)
+
             x_n = x + alpha * dx
-            y_n = y + alpha * dy
+            y_n = mk.axpy(alpha, dy, y)
             z_n = mk.where(mask, mk.axpy(alpha, dz, z), 1.0)
             w_n = mk.where(mask, mk.axpy(alpha, dw, w), 1.0)
 
             mu_n = mk.inner(z_n, w_n, mask) / m
             bad = ~(jnp.isfinite(mu_n) & jnp.isfinite(mk.norm_inf(dx)))
 
+            def sel(a, b):
+                return jax.tree_util.tree_map(
+                    lambda ai, bi: jnp.where(bad, ai, bi), a, b)
+
             return dataclasses.replace(
                 st,
                 x=jnp.where(bad, x, x_n),
-                y=jnp.where(bad, y, y_n),
-                z=jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(bad, a, b), z, z_n),
-                w=jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(bad, a, b), w, w_n),
+                y=sel(y, y_n),
+                z=sel(z, z_n),
+                w=sel(w, w_n),
                 alpha=alpha,
                 iter=st.iter + jnp.where(bad, 0, 1),
                 result=jnp.where(bad, DEGENERATE, st.result),
@@ -317,8 +366,9 @@ class Mehrotra:
         (Hqp_IpsMehrotra.C:364-415): one factor+solve, then optimal."""
         mask = qp.ineq_mask()
         x, y = state.x, state.y
-        r1 = qp.matvec_Q(x) + qp.c - qp.matvec_eqT(y)
-        r2 = -qp.eval_eq(x)
+        r1 = jnp.where(qp.x_mask(),
+                       qp.matvec_Q(x) + qp.c - qp.matvec_eqT(y), 0.0)
+        r2 = mk.scale(-1.0, qp.eval_eq(x))
         r3 = mk.fill(mask, 0.0)
         r4 = mk.fill(mask, 0.0)
         z = mk.fill(mask, 1.0)
@@ -330,10 +380,11 @@ class Mehrotra:
         return dataclasses.replace(
             state,
             x=jnp.where(bad, x, x + dx),
-            y=jnp.where(bad, y, y + dy),
+            y=jax.tree_util.tree_map(
+                lambda a, b: jnp.where(bad, a, a + b), y, dy),
             iter=state.iter + jnp.where(bad, 0, 1),
             result=jnp.where(bad, DEGENERATE, OPTIMAL),
-            test=mk.norm_inf(r1) + mk.norm_inf(r2),
+            test=mk.norm_inf(r1) + mk.norm_inf(r2, qp.eq_mask()),
         )
 
     def _adaptive_alpha(self, z, w, dz, dw, mask, m):

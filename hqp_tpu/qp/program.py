@@ -99,31 +99,66 @@ class StageQP:
         return self.C.shape[1]
 
     # ---- masks -------------------------------------------------------------
+    def fixed_mask(self) -> jnp.ndarray:
+        """Variables with lb == ub: genuine equality constraints (the
+        reference's _xu_eq bucket, hqp/Hqp_Docp.C:372), NOT box rows --
+        tight two-sided inequalities have no strict interior and give the
+        interior point a dual ray."""
+        return (jnp.isfinite(self.lb) & jnp.isfinite(self.ub)
+                & (self.lb == self.ub) & self.var_mask)
+
+    def fixed_val(self) -> jnp.ndarray:
+        return jnp.where(self.fixed_mask(), _z(self.lb), 0.0)
+
     def ineq_mask(self) -> IneqGroups:
+        fix = self.fixed_mask()
         return IneqGroups(
-            bl=jnp.isfinite(self.lb) & self.var_mask,
-            bu=jnp.isfinite(self.ub) & self.var_mask,
+            bl=jnp.isfinite(self.lb) & self.var_mask & ~fix,
+            bu=jnp.isfinite(self.ub) & self.var_mask & ~fix,
             gl=jnp.isfinite(self.d_lo) & self.con_mask,
             gu=jnp.isfinite(self.d_up) & self.con_mask,
         )
 
-    def eq_mask(self) -> jnp.ndarray:
-        return jnp.ones_like(self.b, dtype=bool)
+    def eq_mask(self):
+        return {"dyn": jnp.ones_like(self.b, dtype=bool),
+                "fix": self.fixed_mask()}
+
+    def x_mask(self) -> jnp.ndarray:
+        """Mask of existing variables.  var_mask == False components are
+        STRUCTURALLY absent (padding, or variables pinned to statically
+        known fixed values by the program layer): their steps are exactly
+        zero and their stationarity rows are excluded from all norms (the
+        role of the reference's per-stage variable allocation,
+        hqp/Hqp_Docp.C:324 alloc_vars)."""
+        return self.var_mask
+
+    def A_masked(self):
+        """Dynamics Jacobian with absent-variable columns zeroed."""
+        return self.A * self.var_mask[:-1, None, :]
+
+    def xcoupling_mask(self):
+        """Mask of the -I next-state coupling (x-part of stages 1..K)."""
+        return self.var_mask[1:, : self.nx]
 
     # ---- linear algebra ----------------------------------------------------
     def matvec_Q(self, v):
         return jnp.einsum("kij,kj->ki", self.Q, v)
 
     def eval_eq(self, v):
-        """A_k v_k - x_{k+1} + b_k, shape [K, nx]."""
+        """Equality groups: dynamics A_k v_k - x_{k+1} + b_k  and fixed
+        variables v_i - t_i (in 'Ax + b' form)."""
         Av = jnp.einsum("kij,kj->ki", self.A, v[:-1])
-        return Av - v[1:, : self.nx] + self.b
+        fix = self.fixed_mask()
+        return {"dyn": Av - v[1:, : self.nx] + self.b,
+                "fix": jnp.where(fix, v - self.fixed_val(), 0.0)}
 
     def matvec_eqT(self, y):
         """Adjoint of eval_eq's linear part into variable space [K1, nv]."""
         out = jnp.zeros_like(self.c)
-        out = out.at[:-1].add(jnp.einsum("kij,ki->kj", self.A, y))
-        out = out.at[1:, : self.nx].add(-y)
+        yd = y["dyn"]
+        out = out.at[:-1].add(jnp.einsum("kij,ki->kj", self.A, yd))
+        out = out.at[1:, : self.nx].add(-yd)
+        out = out + jnp.where(self.fixed_mask(), y["fix"], 0.0)
         return out
 
     def matvec_ineq(self, v) -> IneqGroups:
@@ -154,7 +189,8 @@ class StageQP:
         )
 
     def eq_offsets(self):
-        return self.b
+        return {"dyn": self.b,
+                "fix": jnp.where(self.fixed_mask(), -self.fixed_val(), 0.0)}
 
     def norm_data(self):
         """max of infinity norms of Q, A, C, c, b, d (masked).
@@ -169,6 +205,7 @@ class StageQP:
             jnp.max(jnp.abs(self.C)) if self.C.size else 0.0,
             mk.norm_inf(self.c, self.var_mask),
             mk.norm_inf(self.b) if self.b.size else 0.0,
+            mk.norm_inf(self.fixed_val(), self.fixed_mask()),
             mk.norm_inf(_z(self.lb), im.bl),
             mk.norm_inf(_z(self.ub), im.bu),
             mk.norm_inf(_z(self.d_lo), im.gl),
@@ -242,6 +279,9 @@ class DenseQP:
             eq_mask_=jnp.ones(A.shape[0], dtype=bool),
             ineq_mask_=jnp.ones(C.shape[0], dtype=bool),
         )
+
+    def x_mask(self):
+        return jnp.ones_like(self.c, dtype=bool)
 
     def ineq_mask(self) -> DenseIneq:
         return DenseIneq(g=self.ineq_mask_)

@@ -36,7 +36,7 @@ class SqpPowell(SqpSolver):
         self.r = None
 
     def subclass_init(self):
-        self.re = jnp.zeros_like(self.qp.eq_offsets())
+        self.re = mk.fill(self.qp.eq_offsets(), 0.0)
         self.r = mk.fill(self.z, 0.0)
         self._relaxed = False
         self._watchdog_iter = -1
@@ -59,7 +59,7 @@ class SqpPowell(SqpSolver):
         # update penalties with the QP multipliers (C:255-264)
         if self.damped_multipliers:
             y0, z0 = self.y, self.z
-            sy_y = self.ip_state.y - self.y
+            sy_y = mk.sub(self.ip_state.y, self.y)
             sz_z = mk.sub(self.ip_state.z, self.z)
         self.y = self.ip_state.y
         self.z = self.ip_state.z
@@ -102,7 +102,7 @@ class SqpPowell(SqpSolver):
                 self.hela_restart()
                 if self.damped_multipliers:
                     y0, z0 = self.y, self.z
-                    sy_y = jnp.zeros_like(self.y)
+                    sy_y = mk.fill(self.y, 0.0)
                     sz_z = mk.fill(self.z, 0.0)
                 self.re = self._update_r(self.y, self.re)
                 self.r = self._update_r(self.z, self.r)
@@ -121,7 +121,7 @@ class SqpPowell(SqpSolver):
             d = alpha * self.s
             xk = x0 + d
             if self.damped_multipliers and alpha < 1.0:
-                self.y = y0 + alpha * sy_y
+                self.y = mk.axpy(alpha, sy_y, y0)
                 self.z = mk.axpy(alpha, sz_z, z0)
             f, qpv = self.prg.update_fbd_qp(qp0, x0, xk)
             self.x, self.f, self.qp = xk, f, qpv

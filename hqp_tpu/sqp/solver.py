@@ -46,7 +46,7 @@ def infeasibility(qp):
     vals = qp.eval_ineq(qp.zero_x())
     viol = jnp.maximum(0.0, -mk.vmin(vals, mask))
     b = qp.eq_offsets()
-    if b.size:
+    if mk.tsize(b):
         viol = jnp.maximum(viol, mk.norm_inf(b, qp.eq_mask()))
     return viol
 
@@ -60,7 +60,8 @@ def _phi(f, qp, re, r):
     pen_i = mk.total(mk.tmap(lambda ri, di: -ri * jnp.minimum(0.0, di),
                              r, vals), mask)
     b = qp.eq_offsets()
-    pen_e = mk.inner(re, mk.tmap(jnp.abs, b), qp.eq_mask()) if b.size else 0.0
+    pen_e = (mk.inner(re, mk.tmap(jnp.abs, b), qp.eq_mask())
+             if mk.tsize(b) else 0.0)
     return f + pen_e + pen_i
 
 
@@ -73,7 +74,7 @@ def _phi1(f, qp, s, re, r):
                              r, vals), mask)
     ret = f + mk.inner(qp.c, s)
     b = qp.eval_eq(s)
-    if b.size:
+    if mk.tsize(b):
         ret = ret + mk.inner(re, mk.tmap(jnp.abs, b), qp.eq_mask())
     return ret + pen_i
 
@@ -148,12 +149,13 @@ class SqpSolver:
         self.f, self.qp = f, qp
         if self._kkt_backend is None:
             if isinstance(qp, StageQP):
-                self._kkt_backend = kkt.RiccatiKKT()
+                from hqp_tpu.qp.kkt_partitioned import PartitionedKKT
+                self._kkt_backend = PartitionedKKT()
             else:
                 self._kkt_backend = kkt.DenseKKT()
         self.qp_solver.backend = self._kkt_backend
         self.ip_state = self.qp_solver.init_state(qp)
-        self.y = jnp.zeros_like(qp.eq_offsets())
+        self.y = mk.fill(qp.eq_offsets(), 0.0)
         self.z = mk.fill(mk.tmap(lambda m: m.astype(jnp.float64),
                                  qp.ineq_mask()), 0.0)
         self.iter = 0
@@ -188,7 +190,7 @@ class SqpSolver:
             self.sQs = self.xQx
             self.norm_inf = float(infeasibility(qp))
             self.norm_df = 0.0
-            self.norm_grd_L = float(mk.norm_inf(qp.c))
+            self.norm_grd_L = float(mk.norm_inf(qp.c, qp.x_mask()))
             self.norm_x = float(mk.norm_inf(self.x))
             self.grd_L = qp.c
         else:
@@ -196,7 +198,7 @@ class SqpSolver:
             f, qp = prg.make_qp(self.x, Q=self.qp.Q)
             self.f, self.qp = f, qp
             grd_L = _grd_L_of_qp(qp, self.y, self.z)
-            dL = grd_L - dL_old
+            dL = jnp.where(qp.x_mask(), grd_L - dL_old, 0.0)
             Qb = self.hela.update(prg.q_to_blocks(qp.Q),
                                   prg.split_blocks(self.d),
                                   prg.split_blocks(dL), self.alpha)
@@ -207,7 +209,7 @@ class SqpSolver:
             self.xQx = float(mk.inner(xb, self.x))
             self.norm_inf = float(infeasibility(qp))
             self.norm_df = abs(float(self.f_bak) - float(f))
-            self.norm_grd_L = float(mk.norm_inf(grd_L))
+            self.norm_grd_L = float(mk.norm_inf(grd_L, qp.x_mask()))
 
     # -- qp_solve (hqp/Hqp_SqpSolver.C:270-302) ------------------------------
 
@@ -237,7 +239,7 @@ class SqpSolver:
 
     def feasible_vals(self):
         old_norm_inf = max(self.norm_inf, self.eps)
-        self.y = jnp.zeros_like(self.y)
+        self.y = mk.fill(self.y, 0.0)
         self.z = mk.fill(self.z, 0.0)
         x0 = self.x
         alpha = 1.0

@@ -65,6 +65,11 @@ def count(mask):
     return _reduce_sum(tmap(lambda m: m.astype(jnp.float64), mask))
 
 
+def tsize(tree) -> int:
+    """Static total element count of a pytree."""
+    return sum(l.size for l in jax.tree_util.tree_leaves(tree))
+
+
 def norm_inf(a, mask=None):
     """Masked infinity norm."""
     if mask is None:

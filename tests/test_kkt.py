@@ -63,7 +63,10 @@ def random_rhs(qp, seed=2):
     rng = np.random.default_rng(seed)
     mask = qp.ineq_mask()
     r1 = jnp.asarray(rng.standard_normal(qp.c.shape))
-    r2 = jnp.asarray(rng.standard_normal(qp.b.shape))
+    fm = np.asarray(qp.fixed_mask())
+    r2 = {"dyn": jnp.asarray(rng.standard_normal(qp.b.shape)),
+          "fix": jnp.asarray(np.where(fm, rng.standard_normal(fm.shape),
+                                      0.0))}
 
     def mkr(m):
         return jnp.asarray(np.where(m, rng.standard_normal(m.shape), 0.0))
@@ -93,7 +96,11 @@ def test_riccati_matches_dense(K, nx, nu, mc):
 
     np.testing.assert_allclose(np.asarray(dx_r), np.asarray(dx_f),
                                rtol=1e-8, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(dy_r), np.asarray(dy_f),
+    np.testing.assert_allclose(np.asarray(dy_r["dyn"]),
+                               np.asarray(dy_f["dyn"]),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dy_r["fix"]),
+                               np.asarray(dy_f["fix"]),
                                rtol=1e-8, atol=1e-8)
     for f in ("bl", "bu", "gl", "gu"):
         np.testing.assert_allclose(np.asarray(getattr(dz_r, f)),
@@ -113,13 +120,20 @@ def test_riccati_residual():
     fr = ric.factor(qp, z, w, mask)
     dx, dy, dz, dw = ric.solve(fr, qp, z, w, mask, r1, r2, r3, r4)
 
-    # row 1: -Q dx + A' dy + C' dz = r1
+    # row 1: -Q dx + A' dy + C' dz = r1 (on existing variables; absent
+    # padded variables have identity rows pinning their step to zero)
     res1 = (-qp.matvec_Q(dx) + qp.matvec_eqT(dy)
             + qp.matvec_ineqT(dz)) - r1
+    res1 = jnp.where(qp.x_mask(), res1, 0.0)
     assert float(jnp.max(jnp.abs(res1))) < 1e-8
-    # row 2: A dx = r2  (linear part of eval_eq)
-    res2 = (qp.eval_eq(dx) - qp.b) - r2
-    assert float(jnp.max(jnp.abs(res2))) < 1e-8
+    # row 2: A dx = r2  (linear part of eval_eq, both equality groups)
+    ev = qp.eval_eq(dx)
+    off = qp.eq_offsets()
+    res2d = (ev["dyn"] - off["dyn"]) - r2["dyn"]
+    assert float(jnp.max(jnp.abs(res2d))) < 1e-8
+    fm = np.asarray(qp.fixed_mask())
+    res2f = np.where(fm, np.asarray(ev["fix"] - off["fix"] - r2["fix"]), 0.0)
+    assert np.max(np.abs(res2f)) < 1e-8
     # rows 3-4 on valid entries
     Cdx = qp.matvec_ineq(dx)
     for f in ("bl", "bu", "gl", "gu"):

@@ -33,7 +33,11 @@ def test_partitioned_matches_dense(K, nx, nu, mc, L):
 
     np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_f),
                                rtol=1e-7, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(dy_p), np.asarray(dy_f),
+    np.testing.assert_allclose(np.asarray(dy_p["dyn"]),
+                               np.asarray(dy_f["dyn"]),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dy_p["fix"]),
+                               np.asarray(dy_f["fix"]),
                                rtol=1e-7, atol=1e-7)
     for f in ("bl", "bu", "gl", "gu"):
         np.testing.assert_allclose(np.asarray(getattr(dz_p, f)),

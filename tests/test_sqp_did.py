@@ -37,3 +37,18 @@ def test_did_no_cns():
     result = s.solve()
     assert result == "optimal"
     assert s.norm_inf < s.eps
+
+
+def test_did_infeasible_detected():
+    """DID with the extra path constraint is INFEASIBLE for kmax < 60:
+    c_0 = dt/2 * x0_0 = 1/(2 kmax) > 0.01 at the fixed initial state.
+    The driver must report it (the reference raises 'error infeasible',
+    hqp/hqp_solve.tcl:224-230)."""
+    from hqp_tpu.sqp.solver import SqpError
+
+    prg = PrgDID(kmax=30, with_cns=True)
+    s = SqpPowell(prg, max_iters=50)
+    s.init()
+    with pytest.raises(SqpError) as ei:
+        s.solve()
+    assert ei.value.reason in ("infeasible", "stall", "iters")
