@@ -35,7 +35,8 @@ def build(kmax):
     _, qp = prg.make_qp(v0, Q=Q0)
     mask = qp.ineq_mask()
     ones = mk.where(mask, mk.tmap(lambda m: m.astype(jnp.float64), mask), 1.0)
-    r1, r2 = qp.c, qp.b
+    r1 = jnp.where(qp.x_mask(), qp.c, 0.0)
+    r2 = qp.eq_offsets()
     r3 = mk.fill(mask, 0.0)
     r4 = mk.fill(mask, 0.0)
     return prg, qp, mask, ones, (r1, r2, r3, r4)

@@ -291,6 +291,22 @@ class Docp:
         HK = jax.hessian(lagK)(v[-1])
         return jnp.concatenate([H, HK[None]], axis=0)
 
+    def repin(self, v):
+        """Force pinned (fixed) variables to their current values -- used
+        after pin values change (MPC initial-state update) or any
+        operation that may have perturbed them."""
+        return jnp.where(self._pin_mask, self._pin_vals, v)
+
+    def set_pinned(self, x_fixed=None, stage=0):
+        """Update the pinned state values of one stage (MPC: the new
+        measured initial state).  x_fixed: [nx] array; only components
+        that were declared fixed in setup_vars are affected."""
+        if x_fixed is not None:
+            vals = self._pin_vals.at[stage, : self.nx].set(
+                jnp.asarray(x_fixed, jnp.float64))
+            self._pin_vals = jnp.where(self._pin_mask, vals,
+                                       self._pin_vals)
+
     def split_blocks(self, vec):
         """Map a variable-space vector to the BFGS block partition
         ([K1, nv] is already the per-stage block layout)."""

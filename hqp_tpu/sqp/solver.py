@@ -228,6 +228,30 @@ class SqpSolver:
         self.sQs = float(mk.inner(sQ, self.s))
         self.norm_dx = float(mk.norm_inf(self.s))
 
+    # -- MPC hot start (hqp/Hqp_SqpSolver.C:321-340, hqp_solve.tcl:76-78) ----
+
+    def qp_reinit_bd(self):
+        """Re-initialize bounds/values after problem data changed (e.g. a
+        shifted initial state in an MPC loop), snapshotting or restoring
+        the Hessian of the last cold solution."""
+        if hasattr(self.prg, "repin"):
+            self.x = self.prg.repin(self.x)
+        f, qp = self.prg.update_fbd_qp(self.qp, self.x, self.x)
+        self.f, self.qp = f, qp
+        self.norm_inf = float(infeasibility(qp))
+        if not self._hot_started_sqp:
+            self._qp_Q_hot = self.qp.Q
+            self._hot_started_sqp = True
+        else:
+            self.qp = dataclasses.replace(self.qp, Q=self._qp_Q_hot)
+
+    def solve_hot(self, max_iters=None):
+        """Re-solve after a bound change, reusing the SQP iterate,
+        multipliers, Hessian snapshot and the IP's (z, w) hot-start pair
+        (hqp_solve_hot, hqp/hqp_solve.tcl:76-78)."""
+        self.qp_reinit_bd()
+        return self.solve(max_iters=max_iters, hot=True)
+
     # -- hessian restart (hqp/Hqp_SqpSolver.C:305-318) -----------------------
 
     def hela_restart(self):
@@ -279,15 +303,19 @@ class SqpSolver:
 
     # -- driver loop (hqp/hqp_solve.tcl:83-265) ------------------------------
 
-    def solve(self, max_iters=None):
+    def solve(self, max_iters=None, hot=False):
         if max_iters is not None:
             self.max_iters = max_iters
         if self.x is None:
             self.init()
         eps = self.eps
         nullsteps = 0
+        skip_update = hot  # hot start cannot reuse higher-order info
         while True:
-            self.qp_update()
+            if skip_update:
+                skip_update = False
+            else:
+                self.qp_update()
             if not (jnp.isfinite(self.f) and jnp.isfinite(self.norm_inf)):
                 raise SqpError("evaluation")
             if self.logging:
