@@ -1,0 +1,228 @@
+"""Command shell: the reference's Tcl command surface as a string interface.
+
+The reference drives everything through Tcl commands bound by the iftcl
+layer (iftcl/If_Element.h; SURVEY.md section 2.4): module selection
+(``prg_name Crane``, ``sqp_solver Powell``, ``qp_mat_solver LQDOCP``),
+typed knobs (``sqp_eps 1e-6``, ``prg_kmax 100``), actions (``prg_setup``,
+``sqp_init``, ``hqp_solve``) and result readback (``prg_f``,
+``sqp_norm_inf``).  This module reproduces that command surface over the
+registry so reference-style driver scripts keep working:
+
+    sh = Shell()
+    sh.run('''
+        prg_name DID
+        prg_setup
+        sqp_init
+        hqp_solve
+    ''')
+    sh("prg_f")   -> objective
+
+Commands return strings (like Tcl); unknown ``<obj>_<attr>`` commands
+resolve against registered knob tables, mirroring If_Int/If_Real
+bindings.
+"""
+
+from __future__ import annotations
+
+import shlex
+
+import jax.numpy as jnp
+
+from hqp_tpu.utils.registry import modules
+# ensure all modules self-register
+import hqp_tpu.models.did  # noqa: F401
+import hqp_tpu.models.crane  # noqa: F401
+import hqp_tpu.models.nlp_suite  # noqa: F401
+import hqp_tpu.models.omu_suite  # noqa: F401
+import hqp_tpu.sqp.powell  # noqa: F401
+import hqp_tpu.sqp.schittkowski  # noqa: F401
+import hqp_tpu.qp.kkt  # noqa: F401
+import hqp_tpu.qp.kkt_partitioned  # noqa: F401
+
+
+def _parse(v: str):
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if v in ("true", "True"):
+        return True
+    if v in ("false", "False"):
+        return False
+    return v
+
+
+class Shell:
+    """Reference-compatible command interface (hqp/hqp_solve.tcl driver)."""
+
+    #: knob tables: Tcl name -> attribute path on (prg | solver | qp_solver)
+    SQP_KNOBS = {
+        "sqp_eps": "eps", "sqp_max_iters": "max_iters",
+        "sqp_iter": "iter!", "sqp_inf_iters": "inf_iters!",
+        "sqp_max_inf_iters": "max_inf_iters",
+        "sqp_min_alpha": "min_alpha", "sqp_alpha": "alpha!",
+        "sqp_norm_inf": "norm_inf!", "sqp_norm_grd_L": "norm_grd_L!",
+        "sqp_norm_s": "norm_dx!", "sqp_norm_x": "norm_x!",
+        "sqp_norm_df": "norm_df!", "sqp_sQs": "sQs!", "sqp_xQx": "xQx!",
+        "sqp_logging": "logging",
+    }
+    QP_KNOBS = {
+        "qp_eps": "eps", "qp_max_iters": "max_iters",
+        "qp_max_warm_iters": "max_warm_iters", "qp_init_method":
+        "init_method", "qp_gammaf": "gammaf",
+    }
+
+    def __init__(self):
+        self.prg = None
+        self.solver = None
+        self._sqp_name = "Powell"
+        self._qp_mat_name = None
+        self._prg_kwargs = {}
+
+    # -- dispatch ------------------------------------------------------------
+
+    def __call__(self, line: str) -> str:
+        parts = shlex.split(line)
+        if not parts:
+            return ""
+        cmd, args = parts[0], [_parse(a) for a in parts[1:]]
+        fn = getattr(self, "cmd_" + cmd, None)
+        if fn is not None:
+            return str(fn(*args))
+        return str(self._knob(cmd, args))
+
+    def run(self, script: str):
+        """Execute a newline/';'-separated command script; returns the
+        list of results (odc/run analog)."""
+        out = []
+        for raw in script.replace(";", "\n").splitlines():
+            line = raw.split("#")[0].strip()
+            if line:
+                out.append(self(line))
+        return out
+
+    # -- module selection ----------------------------------------------------
+
+    def cmd_prg_name(self, name=None):
+        if name is None:
+            return self.prg.name if self.prg else "None"
+        self._prg_name = name
+        self.prg = modules.create("prg_name", name, **self._prg_kwargs)
+        return name
+
+    def cmd_sqp_solver(self, name=None):
+        if name is None:
+            return self._sqp_name
+        self._sqp_name = name
+        return name
+
+    def cmd_qp_mat_solver(self, name=None):
+        if name is None:
+            return self._qp_mat_name or "SpSC"
+        self._qp_mat_name = name
+        return name
+
+    # -- actions (hqp_solve.tcl command set) ---------------------------------
+
+    def _need_solver(self):
+        if self.solver is None:
+            kw = {}
+            if self._qp_mat_name:
+                kw["kkt_backend"] = modules.create(
+                    "qp_mat_solver", self._qp_mat_name)
+            self.solver = modules.create("sqp_solver", self._sqp_name,
+                                         self.prg, **kw)
+        return self.solver
+
+    def cmd_prg_setup(self):
+        s = self._need_solver()
+        s.init()
+        return "ok"
+
+    def cmd_prg_simulate(self):
+        self._need_solver().simulate()
+        return "ok"
+
+    def cmd_sqp_init(self):
+        if self.solver is None or self.solver.x is None:
+            self.cmd_prg_setup()
+        return "ok"
+
+    def cmd_hqp_solve(self):
+        return self._need_solver().solve()
+
+    def cmd_hqp_solve_hot(self):
+        return self._need_solver().solve_hot()
+
+    def cmd_sqp_qp_update(self):
+        self._need_solver().qp_update()
+        return "ok"
+
+    def cmd_sqp_qp_solve(self):
+        self._need_solver().qp_solve()
+        return "ok"
+
+    def cmd_sqp_step(self):
+        self._need_solver().step()
+        return "ok"
+
+    def cmd_sqp_qp_reinit_bd(self):
+        self._need_solver().qp_reinit_bd()
+        return "ok"
+
+    def cmd_sqp_hela_restart(self):
+        self._need_solver().hela_restart()
+        return "ok"
+
+    def cmd_prg_f(self):
+        return float(self.solver.f)
+
+    def cmd_qp_result(self):
+        from hqp_tpu.qp import mehrotra as ip
+        return ip.RESULT_STRINGS[self.solver.status]
+
+    def cmd_qp_iter(self):
+        return self.solver.qp_iters_last
+
+    # -- knobs ---------------------------------------------------------------
+
+    def _knob(self, cmd, args):
+        # prg_* attributes map onto the program (or constructor kwargs
+        # before prg_name), like the reference's If_Int/If_Real bindings
+        if cmd in self.SQP_KNOBS:
+            return self._attr(self._need_solver(), self.SQP_KNOBS[cmd],
+                              args)
+        if cmd in self.QP_KNOBS:
+            return self._attr(self._need_solver().qp_solver,
+                              self.QP_KNOBS[cmd], args)
+        if cmd.startswith("prg_"):
+            attr = cmd[4:]
+            if self.prg is not None and hasattr(self.prg, attr):
+                return self._attr(self.prg, attr, args)
+            if args:
+                # constructor knob (e.g. prg_kmax): store and re-create
+                # the program so derived quantities update
+                self._prg_kwargs[attr] = args[0]
+                if self.prg is not None:
+                    self.prg = modules.create(
+                        "prg_name", self._prg_name, **self._prg_kwargs)
+                    self.solver = None
+                return args[0]
+            return self._prg_kwargs.get(attr, "")
+        raise KeyError(f"unknown command {cmd!r}")
+
+    @staticmethod
+    def _attr(obj, path, args):
+        ro = path.endswith("!")
+        path = path.rstrip("!")
+        if args and not ro:
+            setattr(obj, path, args[0])
+            return args[0]
+        val = getattr(obj, path)
+        if isinstance(val, (jnp.ndarray,)):
+            val = float(val) if val.ndim == 0 else val.tolist()
+        return val
