@@ -44,6 +44,8 @@ def chol(A):
 def tri_lower_solve(L, b):
     """Solve L x = b with L lower triangular; b is [..., n] or [..., n, m]."""
     n = L.shape[-1]
+    if n == 0:
+        return b
     vec = b.ndim == L.ndim - 1
     if vec:
         b = b[..., None]
@@ -64,6 +66,8 @@ def tri_lower_solve(L, b):
 def tri_upper_solve(L, b):
     """Solve L' x = b with L lower triangular (i.e. upper system)."""
     n = L.shape[-1]
+    if n == 0:
+        return b
     vec = b.ndim == L.ndim - 1
     if vec:
         b = b[..., None]
@@ -112,6 +116,8 @@ def lu_nopiv(A):
 def lu_nopiv_solve(M, b):
     """Solve with the packed factor from :func:`lu_nopiv`."""
     n = M.shape[-1]
+    if n == 0:
+        return b
     vec = b.ndim == M.ndim - 1
     if vec:
         b = b[..., None]

@@ -197,6 +197,14 @@ class RiccatiKKT:
     splitting + GE_QP elimination + BKP pivoting by the pure barrier path
     (the reference's own `_wz_tol == inf` scaled variant, C:850-853) with
     Cholesky of Guu, and runs as a `lax.scan` over [K, n, n] HBM blocks.
+
+    LIMITATION: the sequential recursion cannot represent pinned (absent)
+    states at stages k >= 1 -- their dynamics rows become constraints on
+    the preceding stage, which needs constraint-to-go propagation (the
+    reference's GE_QP role).  Problems with fixed terminal states must use
+    :class:`~hqp_tpu.qp.kkt_partitioned.PartitionedKKT` (the default) or
+    :class:`FullStageKKT`; RiccatiKKT remains exact for problems whose
+    fixed states are at stage 0 only (the common MPC shape).
     """
 
     def __init__(self, reg: float = 0.0, refine_eps: float = 1e-10,

@@ -76,7 +76,7 @@ class Mehrotra:
     """Mehrotra predictor-corrector IP solver over an exchangeable backend."""
 
     def __init__(self, backend=None, eps=1e-9, max_iters=50, max_warm_iters=25,
-                 gammaf=0.01, init_method=0, mod_terlaky=True):
+                 gammaf=0.01, init_method=0, mod_terlaky=True, jit=True):
         self.backend = backend
         self.eps = eps
         self.max_iters = max_iters
@@ -84,6 +84,14 @@ class Mehrotra:
         self.gammaf = gammaf
         self.init_method = init_method
         self.mod_terlaky = mod_terlaky
+        #: jit=False runs eagerly -- required for host-callback backends
+        #: (SparseHostKKT) whose factorizations live outside XLA
+        self.jit = jit
+
+    def _cond(self, pred, tfn, ffn):
+        if self.jit:
+            return jax.lax.cond(pred, tfn, ffn)
+        return tfn() if bool(pred) else ffn()
 
     # -- state construction --------------------------------------------------
 
@@ -109,8 +117,16 @@ class Mehrotra:
         return all(l.size == 0
                    for l in jax.tree_util.tree_leaves(qp.ineq_mask()))
 
-    @partial(jax.jit, static_argnums=0)
     def cold_start(self, qp, state: IPState):
+        if self.jit:
+            return self._cold_start_jit(qp, state)
+        return self._cold_start(qp, state)
+
+    @partial(jax.jit, static_argnums=0)
+    def _cold_start_jit(self, qp, state: IPState):
+        return self._cold_start(qp, state)
+
+    def _cold_start(self, qp, state: IPState):
         if self._no_ineq(qp):
             # program without inequality constraints (C:322-327)
             return dataclasses.replace(
@@ -119,7 +135,7 @@ class Mehrotra:
                 test=jnp.asarray(jnp.inf), alpha=jnp.asarray(1.0),
                 phimin=jnp.zeros(self.max_iters + 1))
         mask = qp.ineq_mask()
-        m = mk.count(mask)
+        m = jnp.maximum(mk.count(mask), 1.0)
         ones = mk.where(mask, mk.fill(mask, 1.0), 1.0)
         z = ones
         if self.init_method == 1:
@@ -156,8 +172,10 @@ class Mehrotra:
         d1 = mk.tmap(lambda a: a + delz, dz)
         d2 = mk.tmap(lambda a: a + delw, dw)
         gap = mk.inner(d1, d2, mask)
-        delz = delz + 0.5 * gap / (mk.total(dw, mask) + m * delw)
-        delw = delw + 0.5 * gap / (mk.total(dz, mask) + m * delz)
+        den_z = mk.total(dw, mask) + m * delw
+        delz = delz + jnp.where(den_z != 0.0, 0.5 * gap / den_z, 0.0)
+        den_w = mk.total(dz, mask) + m * delz
+        delw = delw + jnp.where(den_w != 0.0, 0.5 * gap / den_w, 0.0)
         z = mk.where(mask, mk.tmap(lambda a: a + delz, dz), 1.0)
         w = mk.where(mask, mk.tmap(lambda a: a + delw, dw), 1.0)
 
@@ -172,7 +190,6 @@ class Mehrotra:
             phimin=jnp.zeros(self.max_iters + 1),
         )
 
-    @partial(jax.jit, static_argnums=0)
     def hot_start(self, qp, state: IPState):
         """Re-use snapshotted (z, w); Hqp_IpsMehrotra.C:330-352."""
         return dataclasses.replace(
@@ -190,7 +207,7 @@ class Mehrotra:
         eps = self.eps
         gammaf = self.gammaf
         mask = qp.ineq_mask()
-        m = mk.count(mask)
+        m = jnp.maximum(mk.count(mask), 1.0)
         x, y, z, w = state.x, state.y, state.z, state.w
 
         # residuals of the KKT conditions (C:425-445)
@@ -288,7 +305,7 @@ class Mehrotra:
                 # (Terlaky modification, C:604-623)
                 redo = (alpha_aff < 0.1) | \
                     (alpha_corr < gamma * gamma / 2.0 / m / m)
-                dx, dy, dz, dw = jax.lax.cond(
+                dx, dy, dz, dw = self._cond(
                     redo, lambda: corrector(gamma / (1.0 - gamma)),
                     lambda: (dx, dy, dz, dw))
             else:
@@ -333,8 +350,14 @@ class Mehrotra:
                 return (sel(nx_, dx), sel(ny_, dy), sel(nz_, dz),
                         sel(nw_, dw), jnp.where(take, na, alpha)), None
 
-            (dx, dy, dz, dw, alpha), _ = jax.lax.scan(
-                gondzio_round, (dx, dy, dz, dw, alpha), None, length=2)
+            if self.jit:
+                (dx, dy, dz, dw, alpha), _ = jax.lax.scan(
+                    gondzio_round, (dx, dy, dz, dw, alpha), None, length=2)
+            else:
+                carry = (dx, dy, dz, dw, alpha)
+                for _ in range(2):
+                    carry, _n = gondzio_round(carry, None)
+                dx, dy, dz, dw, alpha = carry
 
             x_n = x + alpha * dx
             y_n = mk.axpy(alpha, dy, y)
@@ -359,7 +382,9 @@ class Mehrotra:
                 result=jnp.where(bad, DEGENERATE, st.result),
             )
 
-        return jax.lax.cond(take_step, do_step, lambda s: s, base)
+        if self.jit:
+            return jax.lax.cond(take_step, do_step, lambda s: s, base)
+        return do_step(base) if bool(take_step) else base
 
     def _step_eq_only(self, qp, state: IPState) -> IPState:
         """Newton step for a program without inequality constraints
@@ -463,7 +488,12 @@ class Mehrotra:
         return state
 
     @partial(jax.jit, static_argnums=0)
+    def _step_jitted(self, qp, state):
+        return self.step(qp, state)
+
     def step_jit(self, qp, state):
+        if self.jit:
+            return self._step_jitted(qp, state)
         return self.step(qp, state)
 
 

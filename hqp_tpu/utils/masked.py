@@ -100,8 +100,14 @@ def where(mask, a, b):
 
 
 def fill(tree, value):
-    """Pytree of the same structure filled with a constant."""
-    return tmap(lambda x: jnp.full_like(x, value), tree)
+    """Pytree of the same structure filled with a constant.  Boolean
+    leaves (masks) are promoted to float64 -- filling a mask tree with a
+    numeric value must not silently truncate to {0, 1}."""
+    def leaf(x):
+        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.inexact) else jnp.float64
+        return jnp.full(x.shape, value, dtype=dt)
+
+    return tmap(leaf, tree)
 
 
 def axpy(alpha, x, y):
