@@ -37,7 +37,16 @@ class Model:
     x_nominal = None
     y_nominal = None
 
+    #: True for purely discrete-time models (dt_update instead of ode)
+    discrete: bool = False
+
     def ode(self, t, x, u, p):
+        raise NotImplementedError
+
+    def dt_update(self, t, x, u, p):
+        """Discrete-time state update x+ = f(t, x, u, p), the role of an
+        S-function's mdlUpdate (consumed by the DTOpt/DTEst
+        formulations, omu/Prg_DTOpt.h:1-25)."""
         raise NotImplementedError
 
     def outputs(self, t, x, u, p):

@@ -29,15 +29,8 @@ import shlex
 import jax.numpy as jnp
 
 from hqp_tpu.utils.registry import modules
-# ensure all modules self-register
-import hqp_tpu.models.did  # noqa: F401
-import hqp_tpu.models.crane  # noqa: F401
-import hqp_tpu.models.nlp_suite  # noqa: F401
-import hqp_tpu.models.omu_suite  # noqa: F401
-import hqp_tpu.sqp.powell  # noqa: F401
-import hqp_tpu.sqp.schittkowski  # noqa: F401
-import hqp_tpu.qp.kkt  # noqa: F401
-import hqp_tpu.qp.kkt_partitioned  # noqa: F401
+# ensure all modules self-register (Hqp_Init/Omu_Init role)
+import hqp_tpu.all_modules  # noqa: F401
 
 
 def _parse(v: str):
