@@ -96,11 +96,28 @@ _DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
 _DP_B4 = jnp.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
                     -92097 / 339200, 187 / 2100, 1 / 40])
 
+# Bogacki-Shampine 3(2) pair (the low-order pair offered by the
+# reference's rksuite wrapper, omu/Omu_IntRKsuite.C method=1)
+_BS_C = jnp.array([0.0, 1 / 2, 3 / 4, 1.0])
+_BS_A = [
+    [],
+    [1 / 2],
+    [0.0, 3 / 4],
+    [2 / 9, 1 / 3, 4 / 9],
+]
+_BS_B3 = jnp.array([2 / 9, 1 / 3, 4 / 9, 0.0])
+_BS_B2 = jnp.array([7 / 24, 1 / 4, 1 / 3, 1 / 8])
 
-@modules.register("prg_integrator", "Dopri5")
-class Dopri5(Integrator):
-    """Adaptive Dormand-Prince RK45 (omu/Omu_IntDopri5.C) as a
-    ``lax.while_loop`` with PI step control; forward-differentiable."""
+
+class _EmbeddedRK(Integrator):
+    """Adaptive embedded RK pair as a ``lax.while_loop`` with step
+    control; forward-differentiable.  Subclasses supply the tableau."""
+
+    C = _DP_C
+    A = _DP_A
+    BHI = _DP_B5
+    BLO = _DP_B4
+    ERR_ORDER = 5.0  # exponent base for step control
 
     def __init__(self, max_steps: int = 1000, **kw):
         super().__init__(**kw)
@@ -109,21 +126,22 @@ class Dopri5(Integrator):
     def solve(self, F, kk, t0, t1, x, u):
         rtol, atol = self.rtol, self.atol
         span = t1 - t0
+        C, A, BHI, BLO = self.C, self.A, self.BHI, self.BLO
 
         def fstep(t, xs, h):
             ks = []
-            for i in range(7):
+            for i in range(len(A)):
                 xi = xs
-                for j, a in enumerate(_DP_A[i]):
+                for j, a in enumerate(A[i]):
                     xi = xi + h * a * ks[j]
-                ks.append(self._xdot(F, kk, t + _DP_C[i] * h, xi, u))
+                ks.append(self._xdot(F, kk, t + C[i] * h, xi, u))
             kmat = jnp.stack(ks)
-            x5 = xs + h * (_DP_B5 @ kmat)
-            x4 = xs + h * (_DP_B4 @ kmat)
+            xhi = xs + h * (BHI @ kmat)
+            xlo = xs + h * (BLO @ kmat)
             err = jnp.sqrt(jnp.mean(
-                ((x5 - x4) / (atol + rtol * jnp.maximum(
-                    jnp.abs(xs), jnp.abs(x5)))) ** 2) + 1e-300)
-            return x5, err
+                ((xhi - xlo) / (atol + rtol * jnp.maximum(
+                    jnp.abs(xs), jnp.abs(xhi)))) ** 2) + 1e-300)
+            return xhi, err
 
         def cond(st):
             t, xs, h, n = st
@@ -132,16 +150,56 @@ class Dopri5(Integrator):
         def body(st):
             t, xs, h, n = st
             h = jnp.minimum(h, t1 - t)
-            x5, err = fstep(t, xs, h)
+            xhi, err = fstep(t, xs, h)
             accept = err <= 1.0
-            fac = jnp.clip(0.9 * err ** (-0.2), 0.2, 5.0)
+            fac = jnp.clip(0.9 * err ** (-1.0 / self.ERR_ORDER), 0.2, 5.0)
             hn = h * fac
             return (jnp.where(accept, t + h, t),
-                    jnp.where(accept, x5, xs), hn, n + 1)
+                    jnp.where(accept, xhi, xs), hn, n + 1)
 
         h0 = jnp.where(self.stepsize > 0.0, self.stepsize, span / 10.0)
         t, xs, h, n = jax.lax.while_loop(cond, body, (t0, x, h0, 0))
         return xs
+
+
+@modules.register("prg_integrator", "Dopri5")
+class Dopri5(_EmbeddedRK):
+    """Adaptive Dormand-Prince RK45 (omu/Omu_IntDopri5.C)."""
+
+
+@modules.register("prg_integrator", "RKsuite")
+class RKsuite(_EmbeddedRK):
+    """Adaptive RK-pair family in the role of the reference's Fortran
+    rksuite wrapper (omu/Omu_IntRKsuite.{h,C} over rksuite/rksuite.f,
+    which offers RK(2,3)/RK(4,5)/RK(7,8) under the UT interface):
+    ``method=2`` selects the Bogacki-Shampine 3(2) pair, ``method=4``
+    (default) the Dormand-Prince 5(4) pair."""
+
+    def __init__(self, method: int = 4, **kw):
+        super().__init__(**kw)
+        self.method = method
+        if method <= 2:
+            self.C, self.A = _BS_C, _BS_A
+            self.BHI, self.BLO = _BS_B3, _BS_B2
+            self.ERR_ORDER = 3.0
+
+
+def _newton_root(res, z0, iters):
+    """Solve res(z) = 0 by damped-free Newton under ``lax.custom_root``
+    so differentiation uses the implicit function theorem (the strategy
+    replacing the reference's hand-propagated sensitivities through
+    Newton solves, omu/Omu_IntIMP.C:416-560, Omu_IntSDIRK.C)."""
+
+    def newton(f, z):
+        def it(i, zk):
+            J = jax.jacfwd(f)(zk)
+            return zk - sl.solve_nopiv(J, f(zk))
+        return jax.lax.fori_loop(0, iters, it, z)
+
+    def tangent_solve(g, y):
+        return sl.solve_nopiv(jax.jacfwd(g)(y), y)
+
+    return jax.lax.custom_root(res, z0, newton, tangent_solve)
 
 
 @modules.register("prg_integrator", "IMP")
@@ -231,6 +289,154 @@ class GRK4(Integrator):
                 lu, f_of(x3, t + _RB_A3X * h) + h * _RB_C4X * dfdt
                 + (_RB_C41 * g1 + _RB_C42 * g2 + _RB_C43 * g3) / h)
             return xs + _RB_B1 * g1 + _RB_B2 * g2 + _RB_B3 * g3 + _RB_B4 * g4
+
+        def body(i, xs):
+            return step(xs, t0 + i * h)
+
+        return jax.lax.fori_loop(0, self.steps, body, x)
+
+
+# Alexander's 3-stage, 3rd-order, L-stable, stiffly accurate SDIRK
+# coefficients (gamma = middle root of x^3 - 3x^2 + 3x/2 - 1/6)
+_SD_GAMMA = 0.4358665215084590
+_SD_C2 = (1.0 + _SD_GAMMA) / 2.0
+_SD_A21 = (1.0 - _SD_GAMMA) / 2.0
+_SD_B1 = -1.5 * _SD_GAMMA * _SD_GAMMA + 4.0 * _SD_GAMMA - 0.25
+_SD_B2 = 1.5 * _SD_GAMMA * _SD_GAMMA - 5.0 * _SD_GAMMA + 1.25
+
+
+@modules.register("prg_integrator", "SDIRK")
+class SDIRK(Integrator):
+    """Singly diagonally implicit Runge-Kutta for implicit DAEs
+    F(x, xdot, u) = 0 (role of omu/Omu_IntSDIRK.{h,C}): Alexander's
+    3-stage L-stable, stiffly accurate order-3 method.  Each stage
+    derivative k_i solves F(t_i, x + h*sum a_ij k_j, u, k_i) = 0 by
+    Newton; algebraic states (rows of F with no xdot dependence) are
+    handled naturally for index-1 DAEs because the stage Jacobian
+    gamma*h*dF/dx + dF/dxdot stays regular (the reference marks them
+    via _x_algebraic, Omu_IntSDIRK.h:139).  Stiff accuracy (b = last
+    row of A) makes the step end exactly on the algebraic manifold.
+    Sensitivities via lax.custom_root (implicit function theorem)."""
+
+    def __init__(self, newton_iters: int = 8, **kw):
+        super().__init__(**kw)
+        self.newton_iters = newton_iters
+
+    def solve(self, F, kk, t0, t1, x, u):
+        h = (t1 - t0) / self.steps
+        g = _SD_GAMMA
+
+        def stage(t_i, base):
+            def res(k):
+                return F(kk, t_i, base + h * g * k, u, k)
+
+            k0 = jnp.zeros_like(x)
+            return _newton_root(res, k0, self.newton_iters)
+
+        def step(xs, t):
+            k1 = stage(t + g * h, xs)
+            k2 = stage(t + _SD_C2 * h, xs + h * _SD_A21 * k1)
+            k3 = stage(t + h, xs + h * (_SD_B1 * k1 + _SD_B2 * k2))
+            # stiffly accurate: x+ = last stage value
+            return xs + h * (_SD_B1 * k1 + _SD_B2 * k2 + g * k3)
+
+        def body(i, xs):
+            return step(xs, t0 + i * h)
+
+        return jax.lax.fori_loop(0, self.steps, body, x)
+
+
+@modules.register("prg_integrator", "DASPK")
+@modules.register("prg_integrator", "BDF")
+class BDF(Integrator):
+    """Fixed-leading-coefficient BDF for implicit DAEs F(x, xdot, u)=0,
+    the role of the reference's DASPK 3.0 interface
+    (omu/Omu_IntDASPK.{h,C}: BDF with staggered sensitivity analysis).
+    BDF2 with a BDF1 (implicit Euler) starter; each step solves
+    F(t_{n+1}, x_{n+1}, u, (a0 x_{n+1} - rhs)/h) = 0 for x_{n+1} by
+    Newton.  DASPK's sensitivity machinery (_info[20-1]=2 staggered
+    corrector) is replaced by implicit-function-theorem differentiation
+    of the Newton solve via lax.custom_root."""
+
+    def __init__(self, newton_iters: int = 8, order: int = 2, **kw):
+        # DASPK is an adaptive multistep code; a single fixed step per
+        # sample period would degrade to implicit Euler, so default to a
+        # few substeps.
+        kw.setdefault("steps", 4)
+        super().__init__(**kw)
+        self.newton_iters = newton_iters
+        self.order = order
+
+    def _implicit_step(self, F, kk, t_next, x_pred, a0_h, hist):
+        """Solve F(t, x, u_, (a0*x - hist)/h) = 0 for x."""
+
+        def res(xn):
+            return F(kk, t_next, xn, self._u, a0_h * xn - hist)
+
+        return _newton_root(res, x_pred, self.newton_iters)
+
+    def solve(self, F, kk, t0, t1, x, u):
+        h = (t1 - t0) / self.steps
+        self._u = u
+
+        # BDF1 starter: xdot = (x1 - x0)/h
+        x1 = self._implicit_step(F, kk, t0 + h, x, 1.0 / h, x / h)
+        if self.steps == 1 or self.order == 1:
+            if self.order == 1:
+                def body1(i, xs):
+                    t = t0 + (i + 1) * h
+                    return self._implicit_step(F, kk, t + h, xs,
+                                               1.0 / h, xs / h)
+                return jax.lax.fori_loop(0, self.steps - 1, body1, x1)
+            return x1
+
+        # BDF2: xdot = (3 x_{n+1} - 4 x_n + x_{n-1}) / (2h)
+        def body(i, carry):
+            xm1, xn = carry
+            t_next = t0 + (i + 2) * h
+            hist = (4.0 * xn - xm1) / (2.0 * h)
+            xp = 2.0 * xn - xm1  # linear predictor
+            xnext = self._implicit_step(F, kk, t_next, xp,
+                                        1.5 / h, hist)
+            return (xn, xnext)
+
+        _, xK = jax.lax.fori_loop(0, self.steps - 1, body, (x, x1))
+        return xK
+
+
+@modules.register("prg_integrator", "OdeTs")
+class OdeTs(Integrator):
+    """Taylor-series integration of autonomous ODEs (role of
+    omu/Omu_IntOdeTs.{h,C}, which uses ADOL-C's forodec higher-order
+    forward mode): Taylor coefficients of the solution come from the
+    recursion y_{k+1} = (f o y)_k / (k+1) evaluated with
+    ``jax.experimental.jet`` -- the JAX equivalent of ADOL-C Taylor
+    propagation.  Like the reference, the model is treated as
+    autonomous within a step (t frozen at the step start)."""
+
+    def __init__(self, order: int = 6, **kw):
+        super().__init__(**kw)
+        self.order = order
+
+    def solve(self, F, kk, t0, t1, x, u):
+        from jax.experimental.jet import jet
+
+        h = (t1 - t0) / self.steps
+
+        def step(xs, t):
+            def f(z):
+                return self._xdot(F, kk, t, z, u)
+
+            cs = [f(xs)]
+            for k in range(1, self.order):
+                _, series = jet(f, (xs,), ((*cs, jnp.zeros_like(xs)),))
+                cs.append(series[k - 1] / (k + 1))
+            out = xs
+            hp = h
+            for c in cs:
+                out = out + c * hp
+                hp = hp * h
+            return out
 
         def body(i, xs):
             return step(xs, t0 + i * h)

@@ -119,6 +119,19 @@ class Shell:
         self._qp_mat_name = name
         return name
 
+    def cmd_prg_integrator(self, name=None, steps=None):
+        """Integrator module selection (reference: ``prg_integrator RK4``,
+        omu/Hqp_Omuses.C:83).  Optional second argument sets the number
+        of fixed sub-steps (prg_int_stepsize role)."""
+        if name is None:
+            it = getattr(self.prg, "integrator", None)
+            return type(it).__name__ if it is not None else "None"
+        if self.prg is None or not hasattr(self.prg, "integrator"):
+            raise KeyError("current program has no integrator slot")
+        kw = {"steps": int(steps)} if steps is not None else {}
+        self.prg.integrator = modules.create("prg_integrator", name, **kw)
+        return name
+
     # -- actions (hqp_solve.tcl command set) ---------------------------------
 
     def _need_solver(self):
