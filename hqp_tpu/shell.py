@@ -187,6 +187,49 @@ class Shell:
     def cmd_prg_f(self):
         return float(self.solver.f)
 
+    # -- mixed-integer layer (hqp_solve.tcl:258-262 runs the mip solver
+    # over the final relaxation after SQP) --------------------------------
+
+    def cmd_mip_solver(self, name=None):
+        if name is None:
+            return getattr(self, "_mip_name", "LPSolve")
+        self._mip_name = name
+        return name
+
+    def cmd_mip_solve(self):
+        """Branch & bound over the final QP relaxation, in absolute
+        variables, honoring the program's ``x_int`` marks
+        (Hqp_Program x_int role, hqp/Hqp_Program.h:47)."""
+        import dataclasses
+
+        import numpy as np
+
+        prg = self.prg
+        int_mask = getattr(prg, "x_int", None)
+        if int_mask is None or not np.asarray(int_mask).any():
+            raise KeyError("program defines no integer variables (x_int)")
+        s = self._need_solver()
+        qp, x = s.qp, s.x
+        # shift the step-QP (variable dx) to absolute variables z = x + dx
+        qp_abs = dataclasses.replace(
+            qp, c=qp.c - qp.Q @ x, b=qp.b - qp.A @ x, d=qp.d - qp.C @ x)
+        bb = modules.create("mip_solver",
+                            getattr(self, "_mip_name", "LPSolve"))
+        z, fqp, status = bb.solve(qp_abs, np.asarray(int_mask))
+        self._mip_status = status
+        if z is not None:
+            self._mip_x = z
+            self._mip_f = float(prg._eval(jnp.asarray(z))[0])
+        else:
+            self._mip_x, self._mip_f = None, float("nan")
+        return status
+
+    def cmd_mip_f(self):
+        return self._mip_f
+
+    def cmd_mip_x(self):
+        return [float(v) for v in self._mip_x]
+
     def cmd_qp_result(self):
         from hqp_tpu.qp import mehrotra as ip
         return ip.RESULT_STRINGS[self.solver.status]
