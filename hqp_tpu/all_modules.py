@@ -26,3 +26,4 @@ import hqp_tpu.qp.kkt
 import hqp_tpu.qp.kkt_partitioned
 import hqp_tpu.qp.kkt_sparse_host
 import hqp_tpu.mip.branch_bound
+import hqp_tpu.qp.client

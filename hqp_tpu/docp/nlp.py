@@ -106,7 +106,13 @@ class Nlp:
             self._c_max[self._cub] - cv[self._cub]])
         return A, b, C, d
 
+    #: evaluation counters (prg_fbd_evals role)
+    fbd_evals: int = 0
+    grd_evals: int = 0
+
     def make_qp(self, x, Q=None):
+        self.fbd_evals += 1
+        self.grd_evals += 1
         f, cv = self._eval(x)
         g, J = self._derivs(x)
         A, b, C, d = self._rows(x, cv, J)
@@ -121,6 +127,7 @@ class Nlp:
 
     def update_fbd_qp(self, qp: DenseQP, x_old, x_new):
         """Fresh values, stale derivative rows (Hqp_SqpProgram::update_fbd)."""
+        self.fbd_evals += 1
         f, cv = self._eval(x_new)
         # value rows from stale J rows are not recomputed; only offsets are
         n = self.n

@@ -222,8 +222,14 @@ class Docp:
 
     # program protocol consumed by the SQP solver ---------------------------
 
+    #: evaluation counters (prg_fbd_evals role, hqp/Hqp_Docp.h:113)
+    fbd_evals: int = 0
+    grd_evals: int = 0
+
     def make_qp(self, v, Q=None):
         """Assemble the StageQP linearization at iterate v."""
+        self.fbd_evals += 1
+        self.grd_evals += 1
         lb, ub, c_min, c_max, var_mask, con_mask = self._bounds
         f, b, cvals = self.eval_vals(v)
         A, cgrad, C = self.eval_derivs(v)
@@ -237,8 +243,12 @@ class Docp:
         )
         return f, qp
 
-    @partial(jax.jit, static_argnums=0)
     def update_fbd_qp(self, qp: StageQP, v_old, v_new):
+        self.fbd_evals += 1
+        return self._update_fbd_qp(qp, v_old, v_new)
+
+    @partial(jax.jit, static_argnums=0)
+    def _update_fbd_qp(self, qp: StageQP, v_old, v_new):
         """Re-evaluate only values at v_new, keeping derivatives of qp.
         Analog of Hqp_SqpProgram::update_fbd for line search."""
         lb, ub, c_min, c_max, var_mask, con_mask = self._bounds

@@ -113,6 +113,14 @@ class Shell:
         self._sqp_name = name
         return name
 
+    def cmd_sqp_qp_solver(self, name=None):
+        """QP solver module selection (reference: ``sqp_qp_solver
+        Mehrotra``, hqp/Hqp_Init.C:202-204)."""
+        if name is None:
+            return getattr(self, "_qp_solver_name", "Mehrotra")
+        self._qp_solver_name = name
+        return name
+
     def cmd_qp_mat_solver(self, name=None):
         if name is None:
             return self._qp_mat_name or "SpSC"
@@ -140,6 +148,9 @@ class Shell:
             if self._qp_mat_name:
                 kw["kkt_backend"] = modules.create(
                     "qp_mat_solver", self._qp_mat_name)
+            qp_name = getattr(self, "_qp_solver_name", None)
+            if qp_name:
+                kw["qp_solver"] = modules.create("sqp_qp_solver", qp_name)
             self.solver = modules.create("sqp_solver", self._sqp_name,
                                          self.prg, **kw)
         return self.solver
