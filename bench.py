@@ -8,6 +8,11 @@ dense-saddle LU solve of the *same* KKT system measured in the same run --
 the speedup that structure exploitation buys, which is exactly the role of
 the reference's Hqp_IpLQDOCP vs its general sparse solvers.
 
+The measured solve is CORRECTNESS-GATED: the KKT residual of the produced
+direction must be below RES_TOL (relative to the O(1) right-hand side) or
+the benchmark reports failure -- timing a numerically wrong factorization
+is meaningless.
+
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 """
@@ -20,12 +25,14 @@ import jax.numpy as jnp
 
 import hqp_tpu  # noqa: F401  (x64 on)
 from hqp_tpu.models.did import PrgDID
+from hqp_tpu.qp import kkt as K_
 from hqp_tpu.qp.kkt import FullStageKKT
 from hqp_tpu.qp.kkt_partitioned import PartitionedKKT
 import hqp_tpu.utils.masked as mk
 
 KMAX = 1000
 REPS = 20
+RES_TOL = 1e-4
 
 
 def build(kmax):
@@ -62,27 +69,37 @@ def time_backend(be, qp, mask, ones, rhs, reps=REPS):
 
 def main():
     prg, qp, mask, ones, rhs = build(KMAX)
+    r1, r2, r3, r4 = rhs
 
-    part = PartitionedKKT(L=25, refine_rounds=2)
+    part = PartitionedKKT(L=20, refine_rounds=3)
     part_ms, sol_p = time_backend(part, qp, mask, ones, rhs)
 
-    # unstructured dense-saddle baseline on the same system
+    # correctness gate: true KKT residual of the produced direction
+    dx, dy, dz, dw = sol_p
+    *_, res = K_.kkt_residual(qp, ones, ones, mask, r1, r2, r3, r4,
+                              dx, dy, dz, dw)
+    res = float(res)
+    ok = res < RES_TOL and not bool(jnp.any(jnp.isnan(dx)))
+
+    # unstructured dense-saddle baseline on the same system (timing only;
+    # on TPU its f32 LU is not accuracy-comparable)
     try:
         full = FullStageKKT()
-        full_ms, sol_f = time_backend(full, qp, mask, ones, rhs, reps=3)
-        # sanity: same solution
-        err = float(jnp.max(jnp.abs(sol_p[0] - sol_f[0])))
-        ok = err < 1e-5
+        full_ms, _ = time_backend(full, qp, mask, ones, rhs, reps=3)
     except Exception:
-        full_ms, ok = float("nan"), False
+        full_ms = float("nan")
 
     vs = (full_ms / part_ms) if (full_ms == full_ms) else 1.0
     print(json.dumps({
         "metric": "did1000_kkt_factor_solve_ms",
-        "value": round(part_ms, 3),
+        "value": round(part_ms, 3) if ok else None,
         "unit": "ms",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(vs, 2) if ok else 0.0,
+        "kkt_residual": res,
+        "ok": ok,
     }))
+    if not ok:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,98 @@ def factor(S, U):
     return L, W[:-1]
 
 
+# ---------------------------------------------------------------------------
+# Block cyclic reduction: log-depth factor/solve for the master system.
+#
+# The sequential block-Cholesky scan above costs O(N) kernel-latency steps
+# on TPU (~60us per 2x2 block step measured on v5e); cyclic reduction
+# eliminates all odd-indexed blocks at once per level (batched einsums +
+# batched unrolled Cholesky), so an N-block system needs only ~log2(N)
+# levels.  This is the parallel-scan answer SURVEY.md section 5
+# ("long-context") prescribes for the stage axis; SPD is preserved because
+# each level is block Gaussian elimination under a symmetric permutation.
+# ---------------------------------------------------------------------------
+
+
+def cr_factor(S, U):
+    """Cyclic-reduction factorization of SPD tridiag(U', S, U).
+
+    Returns an opaque pytree (nested tuples) consumed by cr_solve.
+    Level structure, with the level padded to an odd block count
+    N = 2M+1 (identity diagonal pad, zero coupling pad):
+        A_m = U[2m]   couples even 2m   -> odd 2m+1      [M, n, n]
+        B_m = U[2m+1] couples odd 2m+1  -> even 2m+2     [M, n, n]
+        Lo  = chol(D_odd)                                 [M, n, n]
+        R_m = A_m D_odd_m^-1,  S_m = D_odd_m^-1 B_m
+    Reduced system: D' = D_even - [m>=1] B'S - [m<M] R A',
+    U'_m = -R_m B_m.
+    """
+    levels = []
+    D, Uc = S, U
+    n = S.shape[-1]
+    while D.shape[0] > 2:
+        N = D.shape[0]
+        if N % 2 == 0:  # pad to odd with an identity block, zero coupling
+            D = jnp.concatenate([D, jnp.eye(n, dtype=D.dtype)[None]], 0)
+            Uc = jnp.concatenate([Uc, jnp.zeros((1, n, n), D.dtype)], 0)
+            N += 1
+        M = N // 2
+        Dodd = D[1::2]
+        A = Uc[0::2]
+        B = Uc[1::2]
+        Lo = sl.chol(Dodd)
+        # R = A Dodd^-1  (= cho_solve(Lo, A')' by symmetry)
+        R = jnp.swapaxes(sl.cho_solve(Lo, jnp.swapaxes(A, -1, -2)), -1, -2)
+        Sm = sl.cho_solve(Lo, B)
+        Dn = D[0::2]
+        Dn = Dn.at[:M].add(-jnp.einsum("mij,mkj->mik", R, A))
+        Dn = Dn.at[1:].add(-jnp.einsum("mji,mjk->mik", B, Sm))
+        Un = -jnp.einsum("mij,mjk->mik", R, B)
+        levels.append((Lo, R, Sm, A, B))
+        D, Uc = Dn, Un
+    # base: N in {1, 2} -- direct block Cholesky
+    base = factor(D, Uc)
+    return (tuple(levels), base)
+
+
+def cr_solve(fac, rhs):
+    """Solve with cr_factor output; rhs: [N, n]."""
+    levels, base = fac
+    n = rhs.shape[-1]
+    stack = []
+    b = rhs
+    for (Lo, R, Sm, A, B) in levels:
+        N = b.shape[0]
+        if N % 2 == 0:
+            b = jnp.concatenate([b, jnp.zeros((1, n), b.dtype)], 0)
+        M = b.shape[0] // 2
+        bodd = b[1::2]
+        todd = sl.cho_solve(Lo, bodd)
+        bn = b[0::2]
+        bn = bn.at[:M].add(-jnp.einsum("mij,mj->mi", A, todd))
+        bn = bn.at[1:].add(-jnp.einsum("mji,mj->mi", B, todd))
+        stack.append((todd, N))
+        b = bn
+    x = solve(base[0], base[1], b)
+    for (Lo, R, Sm, A, B), (todd, N) in zip(reversed(levels),
+                                            reversed(stack)):
+        xe = x
+        xodd = (todd
+                - jnp.einsum("mji,mj->mi", R, xe[:-1])
+                - jnp.einsum("mij,mj->mi", Sm, xe[1:]))
+        M = xodd.shape[0]
+        out = jnp.zeros((2 * M + 1, n), x.dtype)
+        out = out.at[0::2].set(xe)
+        out = out.at[1::2].set(xodd)
+        x = out[:N]
+    return x
+
+
+def cr_solve_scaled(fac, d, rhs):
+    """Equilibrated wrapper (same contract as solve_scaled)."""
+    return d * cr_solve(fac, d * rhs)
+
+
 def solve(L, W, rhs):
     """Solve T x = rhs given factor(S, U) -> (L, W); rhs: [N, n]."""
     n = L.shape[-1]

@@ -30,9 +30,11 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
+
 
 from hqp_tpu.ops import blocktri
+from hqp_tpu.ops import gj_pallas
+from hqp_tpu.ops import thomas_pallas
 from hqp_tpu.ops import smalllin as sl
 from hqp_tpu.utils.registry import modules
 from hqp_tpu.qp.program import StageQP
@@ -44,12 +46,12 @@ BIG = K_.FIX_BIG
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PartFactors:
-    lu: jnp.ndarray       # [P, s, s] LU of interior blocks
-    piv: jnp.ndarray      # [P, s]
-    W: jnp.ndarray        # [P, s, 2nx]  M_II^-1 M_IB
+    Minv: jnp.ndarray     # [P, s, s] inverse of the SCALED interior (f32)
+    Dscale: jnp.ndarray   # [P, s] Ruiz scaling: MII^-1 ~= D Minv D
+    MII: jnp.ndarray      # [P, s, s] f64 interior blocks (inner refinement)
+    W: jnp.ndarray        # [P, s, 2nx]  M_II^-1 M_IB (inner-refined)
     MIB: jnp.ndarray      # [P, s, 2nx]
-    Lb: jnp.ndarray       # [P+1, nx, nx] master chol (equilibrated)
-    Wb: jnp.ndarray       # [P, nx, nx]
+    master: object        # cyclic-reduction factors of the boundary system
     dM: jnp.ndarray       # [P+1, nx] Jacobi scaling of the master
     LuuK: jnp.ndarray     # [nu, nu] terminal u-block Cholesky
     KgainK: jnp.ndarray   # [nu, nx]
@@ -60,11 +62,62 @@ def _interior_dim(L, nx, nu):
     return nu + (L - 1) * nv + L * nx
 
 
+INNER_ROUNDS = 2
+
+
+def _interior_apply(fac0, rho):
+    """MII^-1 rho to ~f64 accuracy: scaled f32 inverse + f64
+    inner-refinement rounds.  rho: [P, s] or [P, s, m]."""
+    Minv, Dd, MII = fac0
+    vec = rho.ndim == 2
+    if vec:
+        rho = rho[..., None]
+    Ddc = Dd[:, :, None]
+
+    def apply32(r):
+        r_s = (Ddc * r).astype(Minv.dtype)
+        return Ddc * jnp.einsum("pij,pjm->pim", Minv, r_s).astype(rho.dtype)
+
+    t = apply32(rho)
+    for _ in range(INNER_ROUNDS):
+        resid = rho - jnp.einsum("pij,pjm->pim", MII, t)
+        t = t + apply32(resid)
+    return t[..., 0] if vec else t
+
+
+def _master_matvec(Sm, Um, x):
+    """Equilibrated master block-tridiagonal matvec (f64)."""
+    y = jnp.einsum("pij,pj->pi", Sm, x)
+    y = y.at[:-1].add(jnp.einsum("pij,pj->pi", Um, x[1:]))
+    y = y.at[1:].add(jnp.einsum("pji,pj->pi", Um, x[:-1]))
+    return y
+
+
+#: master backend: "cr" = f64 cyclic reduction (exact, default);
+#: "thomas" = f32 single-launch Pallas Thomas + inner refinement
+#: (faster per solve but measured rel. error ~1e-1 on cond-1e5 masters,
+#: so it degrades the outer refinement -- keep for well-conditioned use)
+MASTER_KERNEL = "cr"
+
+
+def _master_solve(master, dM, rhs, nx):
+    """Master solve: f64 CR (exact) or f32 Pallas Thomas + refinement."""
+    if MASTER_KERNEL == "thomas" and nx <= thomas_pallas.MAX_BLOCK:
+        Sm, Um = master
+        r = dM * rhs
+        x = thomas_pallas.thomas_solve(Sm, Um, r)
+        for _ in range(INNER_ROUNDS):
+            x = x + thomas_pallas.thomas_solve(
+                Sm, Um, r - _master_matvec(Sm, Um, x))
+        return dM * x
+    return blocktri.cr_solve_scaled(master, dM, rhs)
+
+
 class PartitionedKKT:
     """Stage-partitioned Schur-complement factorization of a StageQP KKT."""
 
     def __init__(self, L: int = 16, refine_eps: float = 1e-10,
-                 refine_rounds: int = 8, dual_reg: float = 1e-8):
+                 refine_rounds: int = 8, dual_reg: float | None = None):
         self.L = L
         self.refine_eps = refine_eps
         self.refine_rounds = refine_rounds
@@ -76,7 +129,19 @@ class PartitionedKKT:
         # the lost constraint into a 1/delta penalty between the partition
         # boundaries (exact in the limit); iterative refinement restores
         # full accuracy.
+        #
+        # delta also CONTROLS THE INTERIOR CONDITIONING (cond ~ 1/delta):
+        # the f64 factor path (CPU) affords 1e-8, but the f32 path (TPU)
+        # needs cond well under 1/eps_f32 for the factor to remain a
+        # refinement preconditioner at all -- measured: delta=1e-8 gives
+        # cond 1e8 and a divergent refinement, delta=1e-4 gives cond 1e4
+        # and 5e-5 factor residual.  None = resolve by factor dtype.
         self.dual_reg = dual_reg
+
+    def _dual_reg(self):
+        if self.dual_reg is not None:
+            return self.dual_reg
+        return 1e-6 if K_.lu_dtype() == jnp.float32 else 1e-8
 
     def _choose_L(self, K, nx, nu):
         """A divisor of K close to the requested L, at least ceil(nx/nu)+1
@@ -146,7 +211,7 @@ class PartitionedKKT:
             for j in range(L):
                 yj = off_y + j * nx
                 M = M.at[yj:yj + nx, yj:yj + nx].add(
-                    self.dual_reg * jnp.eye(nx))
+                    self._dual_reg() * jnp.eye(nx))
                 if j == 0:
                     B = B.at[yj:yj + nx, :nx].set(Ap[0, :, :nx])
                     M = M.at[yj:yj + nx, off_u:off_u + nu].set(
@@ -174,9 +239,44 @@ class PartitionedKKT:
 
         L, P, s, offs, MII, MIB = self._assemble(qp, H)
 
-        lu, piv = jax.vmap(lu_factor)(MII.astype(K_.lu_dtype()))
-        W = jax.vmap(lambda l, p, b: lu_solve((l, p), b))(
-            lu, piv, MIB.astype(lu.dtype)).astype(MIB.dtype)
+        # Symmetric RUIZ equilibration of the interior saddle IN F64
+        # before any f32 factorization: the blocks mix the 1e-8 dual
+        # regularization, O(1) Jacobians and barrier/penalty terms across
+        # ~10 orders of magnitude, far beyond f32's reach (cond 1e8+
+        # makes an unscaled f32 factor produce garbage boundary Schur
+        # data and an indefinite master).  Diagonal-based Jacobi scaling
+        # is wrong here -- dual rows have near-zero diagonals -- so use
+        # row-max Ruiz iterations, which drive every row/column of the
+        # symmetric saddle to unit infinity norm.  f64 iterative
+        # refinement restores full accuracy on top (the reference's own
+        # scaling + refinement layering, hqp/Hqp_IpRedSpBKP.C:299-313 +
+        # Hqp_IpMatrix.C).
+        Dd = jnp.ones(MII.shape[:2], MII.dtype)              # [P, s]
+        MII_s = MII
+        for _ in range(3):
+            rmax = jnp.max(jnp.abs(MII_s), axis=2)           # [P, s]
+            di = 1.0 / jnp.sqrt(jnp.maximum(rmax, 1e-12))
+            Dd = Dd * di
+            MII_s = MII_s * di[:, :, None] * di[:, None, :]
+        MIB_s = MIB * Dd[:, :, None]
+        # Inverse (+ raw W) fused in ONE Pallas launch (batched pivoted
+        # Gauss-Jordan, hqp_tpu.ops.gj_pallas); the stored Minv is of the
+        # SCALED system -- applications go through _interior_apply, which
+        # layers ONE f64 inner-refinement round (einsum matvecs) so every
+        # interior solve is f64-accurate FOR THE REGULARIZED interior.
+        # Composed with the refined master below, the whole factorization
+        # then equals the delta-regularized KKT to ~f64, and the outer
+        # refinement's contraction is governed by delta alone.
+        # the Pallas kernel is f32-only; on f64 backends (CPU) the plain
+        # f64 inverse is both exact and supported, so use it there
+        use_pallas = (K_.lu_dtype() == jnp.float32
+                      and gj_pallas.fits_vmem(P, s, 2 * nx))
+        if use_pallas:
+            Minv, _, _ = gj_pallas.interior_factor(MII_s, MIB_s)
+        else:
+            Minv = jnp.linalg.inv(MII_s.astype(K_.lu_dtype()))
+        fac0 = (Minv, Dd, MII)
+        W = _interior_apply(fac0, MIB)
 
         # terminal stage u-elimination (same as RiccatiKKT terminal)
         HK = H[-1]
@@ -188,15 +288,22 @@ class PartitionedKKT:
         Hb = H[::L][:, :nx, :nx]                 # [P+1, nx, nx] (k = pL)
         D = -Hb
         D = D.at[-1].set(-PKxx)
+        # Schur in f64 from the inner-refined W: the master must be
+        # assembled to f64 accuracy or it loses positive definiteness
         Schur = -jnp.einsum("psb,psc->pbc", MIB, W)   # [P, 2nx, 2nx]
         D = D.at[:-1].add(Schur[:, :nx, :nx])
         D = D.at[1:].add(Schur[:, nx:, nx:])
         Off = Schur[:, :nx, nx:]                 # couples x_p to x_{p+1}
 
         Sm, Um, dM = blocktri.equilibrate(-D, -Off)
-        Lb, Wb = blocktri.factor(Sm, Um)
-        return PartFactors(lu=lu, piv=piv, W=W, MIB=MIB, Lb=Lb, Wb=Wb,
-                           dM=dM, LuuK=LuuK, KgainK=KgainK)
+        if MASTER_KERNEL == "thomas" and nx <= thomas_pallas.MAX_BLOCK:
+            # single-launch Pallas block-Thomas: factor+solve fused per
+            # application, so factor-time master work vanishes
+            master = (Sm, Um)
+        else:
+            master = blocktri.cr_factor(Sm, Um)
+        return PartFactors(Minv=Minv, Dscale=Dd, MII=MII, W=W, MIB=MIB,
+                           master=master, dM=dM, LuuK=LuuK, KgainK=KgainK)
 
     # -- solve ---------------------------------------------------------------
 
@@ -222,14 +329,14 @@ class PartitionedKKT:
         rhoB = gx[::L]
         rhoB = rhoB.at[-1].set(gx[-1] - fac.KgainK.T @ gu[-1])
 
-        # condense interiors onto boundaries
-        t = jax.vmap(lambda l, p, b: lu_solve((l, p), b))(
-            fac.lu, fac.piv, rhoI.astype(fac.lu.dtype)).astype(rhoI.dtype)
+        # condense interiors onto boundaries (batched MXU matmuls with
+        # one f64 inner-refinement round)
+        t = _interior_apply((fac.Minv, fac.Dscale, fac.MII), rhoI)
         corr = jnp.einsum("psb,ps->pb", fac.MIB, t)     # [P, 2nx]
         rhoB = rhoB.at[:-1].add(-corr[:, :nx])
         rhoB = rhoB.at[1:].add(-corr[:, nx:])
 
-        xB = blocktri.solve_scaled(fac.Lb, fac.Wb, fac.dM, -rhoB)
+        xB = _master_solve(fac.master, fac.dM, -rhoB, nx)
 
         # back-substitute interiors (batched)
         xpair = jnp.concatenate([xB[:-1], xB[1:]], axis=1)   # [P, 2nx]
