@@ -451,3 +451,10 @@ class FullStageKKT:
 
 
 modules.register("qp_mat_solver", "FullKKT")(FullStageKKT)
+
+
+# reference-name aliases: the full 3x3 saddle factorization fills the
+# role of Hqp_IpSpBKP (and the shared-memory-parallel Hqp_IpPARDISO maps
+# to the same batched on-device factorization)
+modules.register("qp_mat_solver", "SpBKP")(FullStageKKT)
+modules.register("qp_mat_solver", "DenseKKT")(DenseKKT)

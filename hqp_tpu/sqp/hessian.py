@@ -183,3 +183,52 @@ class SparseBFGS(BFGS):
     """Partitioned BFGS over permuted diagonal blocks
     (Hqp_HL_SparseBFGS.C).  With the explicit stage-block Hessian layout the
     partition is already the natural one, so this coincides with BFGS."""
+
+
+@modules.register("sqp_hela", "AugBFGS")
+class AugBFGS(BFGS):
+    """BFGS with per-block inertia correction (Hqp_HL_AugBFGS.C role):
+    after the damped update, each block is shifted so its smallest
+    eigenvalue is at least ``inertia_eps`` times its largest -- keeping
+    every block uniformly positive definite even when curvature
+    information is one-sided (augmented/partitioned problems)."""
+
+    def __init__(self, inertia_eps: float = 1e-6, **kw):
+        kw.setdefault("eigen_control", False)
+        super().__init__(**kw)
+        self.inertia_eps = inertia_eps
+
+    def update(self, Qb, s_b, u_b, alpha):
+        Qn = super().update(Qb, s_b, u_b, alpha)
+        evs = jnp.linalg.eigvalsh(0.5 * (Qn + jnp.swapaxes(Qn, -1, -2)))
+        lo = evs[..., 0]
+        hi = jnp.maximum(evs[..., -1], self.eps)
+        shift = jnp.maximum(self.inertia_eps * hi - lo, 0.0)
+        return Qn + shift[..., None, None] * jnp.eye(Qn.shape[-1])
+
+
+@modules.register("sqp_hela", "Gangster")
+class Gangster(BFGS):
+    """BFGS update projected onto a fixed sparsity pattern (the
+    reference's 'gangster operator', Hqp_HL_Gangster.C): entries outside
+    the pattern of the initial Hessian blocks are forced to zero after
+    every update, preserving problem structure in the quasi-Newton
+    approximation."""
+
+    def __init__(self, **kw):
+        kw.setdefault("eigen_control", False)
+        super().__init__(**kw)
+        self._pattern = None
+
+    def init(self, prg, x, y, z, Qb):
+        Q0 = super().init(prg, x, y, z, Qb)
+        eye = jnp.eye(Q0.shape[-1], dtype=bool)
+        self._pattern = (jnp.abs(Q0) > 0.0) | eye
+        return Q0
+
+    def update(self, Qb, s_b, u_b, alpha):
+        Qn = super().update(Qb, s_b, u_b, alpha)
+        if self._pattern is not None:
+            Qn = jnp.where(self._pattern, Qn, 0.0)
+            Qn = gerschgorin_posdef(Qn, self.eps)
+        return Qn

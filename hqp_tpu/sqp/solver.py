@@ -199,6 +199,10 @@ class SqpSolver:
             self.f, self.qp = f, qp
             grd_L = _grd_L_of_qp(qp, self.y, self.z)
             dL = jnp.where(qp.x_mask(), grd_L - dL_old, 0.0)
+            if hasattr(self.hela, "bind"):
+                # exact-Hessian strategies re-evaluate at the iterate
+                # (Hqp_HL_Gerschgorin role)
+                self.hela.bind(prg, self.x, self.y, self.z)
             Qb = self.hela.update(prg.q_to_blocks(qp.Q),
                                   prg.split_blocks(self.d),
                                   prg.split_blocks(dL), self.alpha)

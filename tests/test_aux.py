@@ -93,3 +93,19 @@ def test_eval_counters_via_shell():
     sh.run("prg_name Maratos; prg_setup; hqp_solve")
     assert int(sh("prg_fbd_evals")) > 0
     assert int(sh("prg_grd_evals")) > 0
+
+
+def test_hessian_strategies_converge():
+    """Every registered Hessian strategy solves Maratos to the optimum
+    (the exchangeable sqp_hela slot, Hqp_HL hierarchy)."""
+    from hqp_tpu.utils.registry import modules
+    import hqp_tpu.sqp.hessian  # noqa: F401
+
+    for name in ("BFGS", "SparseBFGS", "DScale", "AugBFGS", "Gangster",
+                 "Gerschgorin"):
+        hela = modules.create("sqp_hela", name)
+        s = SqpPowell(PrgMaratos(), hela=hela, max_iters=80)
+        s.init()
+        assert s.solve() == "optimal", name
+        np.testing.assert_allclose(float(s.f), -1.0, atol=1e-4,
+                                   err_msg=name)
