@@ -110,6 +110,16 @@ class SqpSolver:
         self.logging = logging
 
         if qp_solver is None:
+            # the QP tolerance cannot be tighter than the KKT solve's
+            # achievable residual: on f32-factorization backends (TPU)
+            # the refined floor is ~1e-7, so demanding 1e-9 would turn
+            # every QP 'optimal' into 'suboptimal' and stall the SQP
+            # (the reference couples qp_eps to factor quality the same
+            # way via its default eps choices)
+            from hqp_tpu.qp import kkt as _kkt
+
+            if _kkt.lu_dtype() == jnp.float32:
+                qp_eps = max(qp_eps, 1e-7)
             qp_solver = ip.Mehrotra(eps=qp_eps, max_iters=qp_max_iters)
         self.qp_solver = qp_solver
         self._kkt_backend = kkt_backend  # resolved at init() from QP type
