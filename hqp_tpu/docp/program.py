@@ -156,6 +156,16 @@ class Docp:
 
         con_mask = jnp.isfinite(c_min) | jnp.isfinite(c_max)
 
+        # Constraint arrays are padded to at least one (masked-off) row:
+        # zero-size buffers are a liability on both XLA backends (the CPU
+        # runtime corrupts the heap on 0-size outputs inside
+        # while_loop+shard_map bodies; TPU cannot tile them) and a
+        # con_mask=False row is a no-op through the mask machinery.
+        if mc == 0:
+            c_min = jnp.full((K1, 1), -inf)
+            c_max = jnp.full((K1, 1), inf)
+            con_mask = jnp.zeros((K1, 1), bool)
+
         self._pin_mask = jnp.asarray(pin_mask)
         self._pin_vals = jnp.asarray(pin_vals)
         self._bounds = (jnp.asarray(lb), jnp.asarray(ub), c_min, c_max,
@@ -203,6 +213,8 @@ class Docp:
         f0K, cK = fin_v(v[-1])
         b = fvals - v[1:, :nx]
         cvals = jnp.concatenate([cvals, cK[None]], axis=0)
+        if self.mc == 0:  # padded masked-off row (see setup())
+            cvals = jnp.zeros((K + 1, 1))
         return jnp.sum(f0s) + f0K, b, cvals
 
     @partial(jax.jit, static_argnums=0)
@@ -218,6 +230,8 @@ class Docp:
         gK, CK = jax.jacfwd(fin_v)(v[-1])
         cgrad = jnp.concatenate([cgrad, gK[None]], axis=0)
         C = jnp.concatenate([C, CK[None]], axis=0)
+        if self.mc == 0:  # padded masked-off row (see setup())
+            C = jnp.zeros((K + 1, 1, self.nv))
         return A, cgrad, C
 
     # program protocol consumed by the SQP solver ---------------------------

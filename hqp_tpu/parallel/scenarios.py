@@ -78,3 +78,19 @@ def make_scenario_init(prg, solver):
         return solver.cold_start(qp, st)
 
     return jax.vmap(one)
+
+
+def make_scenario_solve(prg, solver):
+    """Full QP solves over a batch of problem instances in ONE device
+    program: cold start + ``lax.while_loop`` to termination per scenario
+    (Mehrotra.solve_device), vmapped over the batch axis.  Under a
+    dp-sharded batch every device drives its scenarios to completion
+    without host round-trips -- the honest 'IP iters/s' configuration
+    (BASELINE.md config 5)."""
+
+    def one(v, Q):
+        _, qp = prg.make_qp(v, Q=Q)
+        st = solver.init_state(qp)
+        return solver.solve_device(qp, st)
+
+    return jax.vmap(one)

@@ -93,18 +93,22 @@ def kkt_residual(qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw):
 
 
 def refine(solve_fn, qp, z, w, mask, r1, r2, r3, r4, sol,
-           eps=1e-10, max_rounds=5):
+           eps=1e-10, max_rounds=5, unroll=False):
     """Iterative refinement of a KKT solve (Hqp_IpMatrix::solve,
     hqp/Hqp_IpMatrix.C:65-128): re-solve on the residual and accept the
     correction while the residual norm improves.  Runs as a
     ``lax.while_loop`` so the common case (already accurate) costs one
-    residual evaluation."""
+    residual evaluation.
+
+    ``unroll=True`` runs the rounds as straight-line code with ``where``
+    gating instead of a ``while_loop``.  Required when ``solve_fn``
+    contains a ``shard_map`` (the sharded partitioned backend): XLA:CPU's
+    runtime corrupts the heap on collectives inside a ``While`` body
+    (observed on jax 0.9 with the 8-device host mesh; results are
+    computed correctly, then frees crash) -- and on TPU the unrolled form
+    also avoids re-launch overhead of a serial loop over collectives."""
     dx, dy, dz, dw = sol
     *_, res0 = kkt_residual(qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw)
-
-    def cond(carry):
-        sol, res, i, go = carry
-        return go & (i < max_rounds) & (res > eps)
 
     def body(carry):
         (dx, dy, dz, dw), res, i, go = carry
@@ -115,16 +119,24 @@ def refine(solve_fn, qp, z, w, mask, r1, r2, r3, r4, sol,
                               mk.add(dw, cw))
         *_, nres = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
                                 nx_, ny_, nz_, nw_)
-        better = nres < res
+        better = go & (res > eps) & (nres < res)
         keep = lambda new, old: jax.tree_util.tree_map(
             lambda a, b: jnp.where(better, a, b), new, old)
         return ((keep(nx_, dx), keep(ny_, dy), keep(nz_, dz),
                  keep(nw_, dw)),
                 jnp.where(better, nres, res), i + 1, better)
 
-    (dx, dy, dz, dw), res, _, _ = jax.lax.while_loop(
-        cond, body, ((dx, dy, dz, dw), res0, jnp.asarray(0),
-                     jnp.asarray(True)))
+    carry = ((dx, dy, dz, dw), res0, jnp.asarray(0), jnp.asarray(True))
+    if unroll:
+        for _ in range(max_rounds):
+            carry = body(carry)
+    else:
+        def cond(c):
+            sol, res, i, go = c
+            return go & (i < max_rounds) & (res > eps)
+
+        carry = jax.lax.while_loop(cond, body, carry)
+    (dx, dy, dz, dw), res, _, _ = carry
     return dx, dy, dz, dw
 
 
@@ -134,6 +146,73 @@ def reduced_H_matvec(qp, z, w, mask, dx):
     Cdx = qp.matvec_ineq(dx)
     return qp.matvec_Q(dx) + qp.matvec_ineqT(
         mk.tmap(lambda s, c: s * c, sig, Cdx))
+
+
+def stage_eq_penalty(qp: "StageQP"):
+    """[K1, nv, nv] penalty blocks replacing the hard stage equality rows
+    in the reduced Hessian: FIX_BIG on fixed (lb == ub) variable diagonals
+    and FIX_BIG * E'E for general stage equality rows.  This is the
+    TPU-native realization of the reference's GE_QP stage-constraint
+    elimination (hqp/Hqp_IpLQDOCP.C:1377; meschach/addon_hqp.h:207-209):
+    instead of a data-dependent nullspace factorization per stage (dynamic
+    shapes), the rows are folded into the (static-shape) stage blocks as a
+    quadratic penalty whose error is O(1/FIX_BIG) -- then driven to exact
+    feasibility by iterative refinement against the true KKT system
+    (hqp/Hqp_IpMatrix.C's own layering)."""
+    fm = qp.fixed_mask()
+    Hp = jnp.einsum("ki,ij->kij", fm.astype(jnp.float64) * FIX_BIG,
+                    jnp.eye(qp.nv))
+    if qp.has_gen_eq():
+        Em = qp.E * qp.eqg_mask[:, :, None]
+        Hp = Hp + FIX_BIG * jnp.einsum("kem,ken->kmn", Em, Em)
+    return Hp
+
+
+def _recover_gen_multipliers(qp, resid):
+    """Per-stage least-squares recovery of general-equality multipliers
+    from the stationarity residual: (E E' + reg) yg = E resid, excluding
+    fixed-variable columns (their identity rows own those residuals)."""
+    Em = qp.E * qp.eqg_mask[:, :, None]
+    free = (~qp.fixed_mask()).astype(Em.dtype)
+    Ef = Em * free[:, None, :]
+    meq = qp.meq
+    G = jnp.einsum("kim,kjm->kij", Ef, Ef)
+    G = G + 1e-12 * jnp.eye(meq) + jnp.einsum(
+        "ki,ij->kij", 1.0 - qp.eqg_mask.astype(G.dtype), jnp.eye(meq))
+    rhs = jnp.einsum("kim,km->ki", Ef, resid * free)
+    yg = jnp.linalg.solve(G, rhs[..., None])[..., 0]
+    return jnp.where(qp.eqg_mask, yg, 0.0)
+
+
+def stage_base_solve(solve_reduced_fn, qp, z, w, mask, r1, r2, r3, r4):
+    """Shared base solve for the stage-structured backends (Riccati and
+    partitioned Schur): penalty-adjusted reduced rhs for fixed variables
+    and general stage equalities, reduced solve, then multiplier recovery
+    from exact stationarity.  Exactness comes from the caller's iterative
+    refinement wrapper."""
+    fm = qp.fixed_mask()
+    g = reduce_r1(qp, z, w, mask, r1, r3, r4)
+    g2 = g - FIX_BIG * jnp.where(fm, r2["fix"], 0.0)
+    if qp.has_gen_eq():
+        rg = jnp.where(qp.eqg_mask, r2["gen"], 0.0)
+        g2 = g2 - FIX_BIG * jnp.einsum("kij,ki->kj", qp.E, rg)
+    dx, dyd = solve_reduced_fn(g2, r2["dyn"])
+
+    # multipliers of the eliminated rows from exact stationarity
+    Hdx = reduced_H_matvec(qp, z, w, mask, dx)
+    y0 = {"dyn": dyd, "fix": jnp.zeros_like(g)}
+    if qp.has_gen_eq():
+        y0["gen"] = jnp.zeros_like(r2["gen"])
+    resid = g + Hdx - qp.matvec_eqT(y0)
+    dy = {"dyn": dyd}
+    if qp.has_gen_eq():
+        dyg = _recover_gen_multipliers(qp, resid)
+        resid = resid - jnp.einsum(
+            "kij,ki->kj", qp.E * qp.eqg_mask[:, :, None], dyg)
+        dy["gen"] = dyg
+    dy["fix"] = jnp.where(fm, resid, 0.0)
+    dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)
+    return dx, dy, dz, dw
 
 
 def recover_zw(qp, z, w, mask, dx, r3, r4):
@@ -213,15 +292,32 @@ class RiccatiKKT:
         self.refine_eps = refine_eps
         self.refine_rounds = refine_rounds
 
+    def validate(self, qp):
+        """Structural check (host-side, concrete qp only): the sequential
+        recursion cannot represent structurally absent states at stages
+        k >= 1 (see class docstring).  Pinned states belong as lb == ub
+        fixed variables (hqp_tpu.docp emits them that way), which this
+        backend handles via penalty + refinement."""
+        if not isinstance(qp, StageQP):
+            return
+        import numpy as np
+        try:
+            vm = np.asarray(qp.var_mask)
+        except Exception:
+            return  # traced (e.g. vmapped batch): caller asserts structure
+        if not vm[1:, : qp.nx].all():
+            raise ValueError(
+                "RiccatiKKT (LQDOCP): structurally absent states at stage "
+                "k >= 1 cannot be represented by the sequential Riccati "
+                "recursion; pin them via lb == ub (exact equality rows) or "
+                "use the partitioned backend (qp_mat_solver SpSC)")
+
     def factor(self, qp: StageQP, z, w, mask):
-        H = _stage_hessians(qp, z, w, mask)
         nx, nu, nv = qp.nx, qp.nu, qp.nv
-        # fixed variables: large diagonal penalty; exactness restored by
-        # iterative refinement against the true KKT system (see the
-        # PartitionedKKT docstring for the scheme)
-        H = H + jnp.einsum("ki,ij->kij",
-                           qp.fixed_mask().astype(H.dtype) * FIX_BIG,
-                           jnp.eye(nv))
+        # fixed variables + general stage equalities: penalty blocks;
+        # exactness restored by iterative refinement against the true
+        # KKT system (stage_eq_penalty docstring)
+        H = _stage_hessians(qp, z, w, mask) + stage_eq_penalty(qp)
         eyeu = self.reg * jnp.eye(nu)
         # terminal stage: eliminate the (padded) u-block by Schur complement
         HK = H[-1]
@@ -299,20 +395,10 @@ class RiccatiKKT:
         return dx, dy
 
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
-        fm = qp.fixed_mask()
-
         def base(a1, a2, a3, a4):
-            g = reduce_r1(qp, z, w, mask, a1, a3, a4)
-            tau = jnp.where(fm, a2["fix"], 0.0)
-            dx, dyd = self.solve_reduced(fac, qp, g - FIX_BIG * tau,
-                                         a2["dyn"])
-            # fixed-variable multipliers from exact stationarity
-            Hdx = reduced_H_matvec(qp, z, w, mask, dx)
-            AdT = qp.matvec_eqT(
-                {"dyn": dyd, "fix": jnp.zeros_like(g)})
-            dyf = jnp.where(fm, g + Hdx - AdT, 0.0)
-            dz, dw = recover_zw(qp, z, w, mask, dx, a3, a4)
-            return dx, {"dyn": dyd, "fix": dyf}, dz, dw
+            return stage_base_solve(
+                lambda g, r2d: self.solve_reduced(fac, qp, g, r2d),
+                qp, z, w, mask, a1, a2, a3, a4)
 
         sol = base(r1, r2, r3, r4)
         if self.refine_rounds > 0:

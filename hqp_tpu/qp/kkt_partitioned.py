@@ -116,6 +116,10 @@ def _master_solve(master, dM, rhs, nx):
 class PartitionedKKT:
     """Stage-partitioned Schur-complement factorization of a StageQP KKT."""
 
+    #: refinement loop style: the sharded subclass unrolls (see
+    #: hqp_tpu.qp.kkt.refine on shard_map inside While)
+    refine_unroll = False
+
     def __init__(self, L: int = 16, refine_eps: float = 1e-10,
                  refine_rounds: int = 8, dual_reg: float | None = None):
         self.L = L
@@ -177,14 +181,12 @@ class PartitionedKKT:
 
     # -- assembly ------------------------------------------------------------
 
-    def _assemble(self, qp: StageQP, H):
-        """Per-partition interior saddle blocks and boundary couplings."""
-        Kst, nx, nu, nv = qp.K, qp.nx, qp.nu, qp.nv
-        L, P, s, (off_u, off_v, off_y) = self._layout(qp)
-
-        Hs = H[:-1].reshape(P, L, nv, nv)
-        As = qp.A_masked().reshape(P, L, nx, nv)
-        mm_int, mm_e = self._coupling_masks(qp, L, P)
+    @staticmethod
+    def _partition_blocks(Hs, As, mm_int, mm_e, dims, dual_reg):
+        """Per-partition interior saddle blocks MII and boundary couplings
+        MIB from stage data (vmapped over the partition axis -- the inputs
+        may be a local shard of the partitions under shard_map)."""
+        L, s, nx, nu, nv, (off_u, off_v, off_y) = dims
 
         def build(Hp, Ap, mi, me):
             M = jnp.zeros((s, s))
@@ -211,7 +213,7 @@ class PartitionedKKT:
             for j in range(L):
                 yj = off_y + j * nx
                 M = M.at[yj:yj + nx, yj:yj + nx].add(
-                    self._dual_reg() * jnp.eye(nx))
+                    dual_reg * jnp.eye(nx))
                 if j == 0:
                     B = B.at[yj:yj + nx, :nx].set(Ap[0, :, :nx])
                     M = M.at[yj:yj + nx, off_u:off_u + nu].set(
@@ -226,19 +228,27 @@ class PartitionedKKT:
                     B = B.at[yj:yj + nx, nx:].set(-jnp.diag(me))
             return M, B
 
-        MII, MIB = jax.vmap(build)(Hs, As, mm_int, mm_e)
-        return L, P, s, (off_u, off_v, off_y), MII, MIB
+        return jax.vmap(build)(Hs, As, mm_int, mm_e)
 
-    def factor(self, qp: StageQP, z, w, mask):
-        nx, nu, nv = qp.nx, qp.nu, qp.nv
-        H = K_._stage_hessians(qp, z, w, mask)
-        # dynamically fixed (lb == ub) variables: penalty + refinement
-        fm = qp.fixed_mask()
-        H = H + jnp.einsum("ki,ij->kij", fm.astype(H.dtype) * BIG,
-                           jnp.eye(nv))
+    def _dims(self, qp: StageQP):
+        """Static dim tuple consumed by _partition_blocks."""
+        L, P, s, offs = self._layout(qp)
+        return L, P, (L, s, qp.nx, qp.nu, qp.nv, offs)
 
-        L, P, s, offs, MII, MIB = self._assemble(qp, H)
+    def _split_stage_data(self, qp: StageQP, H, L, P):
+        """Reshape stage data into per-partition blocks [P, L, ...] plus the
+        replicated boundary/terminal blocks."""
+        nv, nx = qp.nv, qp.nx
+        Hs = H[:-1].reshape(P, L, nv, nv)
+        As = qp.A_masked().reshape(P, L, nx, nv)
+        mm_int, mm_e = self._coupling_masks(qp, L, P)
+        Hb = H[::L][:, :nx, :nx]                 # [P+1, nx, nx] boundary
+        return Hs, As, mm_int, mm_e, Hb, H[-1]
 
+    def _interior_factor(self, MII, MIB, nx):
+        """Ruiz-equilibrated interior inverse + couplings W (per partition;
+        runs on a local shard under shard_map).  Returns (Minv, Dd, W)."""
+        P, s = MII.shape[:2]
         # Symmetric RUIZ equilibration of the interior saddle IN F64
         # before any f32 factorization: the blocks mix the 1e-8 dual
         # regularization, O(1) Jacobians and barrier/penalty terms across
@@ -277,20 +287,22 @@ class PartitionedKKT:
             Minv = jnp.linalg.inv(MII_s.astype(K_.lu_dtype()))
         fac0 = (Minv, Dd, MII)
         W = _interior_apply(fac0, MIB)
+        return Minv, Dd, W
 
-        # terminal stage u-elimination (same as RiccatiKKT terminal)
-        HK = H[-1]
+    @staticmethod
+    def _terminal(HK, nx):
+        """Terminal stage u-elimination (same as RiccatiKKT terminal)."""
         LuuK = sl.chol(HK[nx:, nx:])
         KgainK = sl.cho_solve(LuuK, HK[nx:, :nx])
         PKxx = HK[:nx, :nx] - HK[:nx, nx:] @ KgainK
+        return LuuK, KgainK, PKxx
 
-        # master block-tridiagonal assembly (negative definite)
-        Hb = H[::L][:, :nx, :nx]                 # [P+1, nx, nx] (k = pL)
+    @staticmethod
+    def _master_build(Schur, Hb, PKxx, nx):
+        """Assemble + factor the boundary master block-tridiagonal system
+        from the (full, gathered) per-partition Schur blocks."""
         D = -Hb
         D = D.at[-1].set(-PKxx)
-        # Schur in f64 from the inner-refined W: the master must be
-        # assembled to f64 accuracy or it loses positive definiteness
-        Schur = -jnp.einsum("psb,psc->pbc", MIB, W)   # [P, 2nx, 2nx]
         D = D.at[:-1].add(Schur[:, :nx, :nx])
         D = D.at[1:].add(Schur[:, nx:, nx:])
         Off = Schur[:, :nx, nx:]                 # couples x_p to x_{p+1}
@@ -302,19 +314,38 @@ class PartitionedKKT:
             master = (Sm, Um)
         else:
             master = blocktri.cr_factor(Sm, Um)
+        return master, dM
+
+    def factor(self, qp: StageQP, z, w, mask):
+        nx, nu, nv = qp.nx, qp.nu, qp.nv
+        H = self._hess(qp, z, w, mask)
+        L, P, dims = self._dims(qp)
+        Hs, As, mm_int, mm_e, Hb, HK = self._split_stage_data(qp, H, L, P)
+
+        MII, MIB = self._partition_blocks(Hs, As, mm_int, mm_e, dims,
+                                          self._dual_reg())
+        Minv, Dd, W = self._interior_factor(MII, MIB, nx)
+        LuuK, KgainK, PKxx = self._terminal(HK, nx)
+        # Schur in f64 from the inner-refined W: the master must be
+        # assembled to f64 accuracy or it loses positive definiteness
+        Schur = -jnp.einsum("psb,psc->pbc", MIB, W)   # [P, 2nx, 2nx]
+        master, dM = self._master_build(Schur, Hb, PKxx, nx)
         return PartFactors(Minv=Minv, Dscale=Dd, MII=MII, W=W, MIB=MIB,
                            master=master, dM=dM, LuuK=LuuK, KgainK=KgainK)
 
+    @staticmethod
+    def _hess(qp: StageQP, z, w, mask):
+        """Reduced stage Hessians with the fixed-variable and general
+        stage-equality penalty blocks (hqp_tpu.qp.kkt.stage_eq_penalty)."""
+        return K_._stage_hessians(qp, z, w, mask) + K_.stage_eq_penalty(qp)
+
     # -- solve ---------------------------------------------------------------
 
-    def solve_reduced(self, fac: PartFactors, qp: StageQP, g, r2dyn):
-        """Solve [-H A'; A 0][dx; dy] = [g; r2] via the partition Schur."""
-        Kst, nx, nu, nv = qp.K, qp.nx, qp.nu, qp.nv
-        L, P, s, (off_u, off_v, off_y) = self._layout(qp)
-        gx, gu = g[:, :nx], g[:, nx:]
-
-        gsp = g[:-1].reshape(P, L, nv)
-        r2p = r2dyn.reshape(P, L, nx)
+    @staticmethod
+    def _rhs_partitions(gsp, r2p, dims):
+        """Scatter the reduced rhs into per-partition interior vectors
+        (vmapped; shard-local under shard_map)."""
+        L, s, nx, nu, nv, (off_u, off_v, off_y) = dims
 
         def build_rhs(gp, rp):
             rho = jnp.zeros((s,))
@@ -324,7 +355,28 @@ class PartitionedKKT:
             rho = rho.at[off_y:off_y + L * nx].set(rp.reshape(-1))
             return rho
 
-        rhoI = jax.vmap(build_rhs)(gsp, r2p)
+        return jax.vmap(build_rhs)(gsp, r2p)
+
+    @staticmethod
+    def _backsub(W, dims, t, xpair):
+        """Back-substitute interior unknowns given boundary states
+        (shard-local under shard_map); returns (u0, vint, dy_partitions)."""
+        L, s, nx, nu, nv, (off_u, off_v, off_y) = dims
+        zeta = t - jnp.einsum("psb,pb->ps", W, xpair)
+        u0 = zeta[:, off_u:off_u + nu]                   # [P, nu]
+        vint = zeta[:, off_v:off_v + (L - 1) * nv].reshape(-1, L - 1, nv)
+        dy = zeta[:, off_y:off_y + L * nx].reshape(-1, L, nx)
+        return u0, vint, dy
+
+    def solve_reduced(self, fac: PartFactors, qp: StageQP, g, r2dyn):
+        """Solve [-H A'; A 0][dx; dy] = [g; r2] via the partition Schur."""
+        nx, nu, nv = qp.nx, qp.nu, qp.nv
+        L, P, dims = self._dims(qp)
+        gx, gu = g[:, :nx], g[:, nx:]
+
+        gsp = g[:-1].reshape(P, L, nv)
+        r2p = r2dyn.reshape(P, L, nx)
+        rhoI = self._rhs_partitions(gsp, r2p, dims)
 
         rhoB = gx[::L]
         rhoB = rhoB.at[-1].set(gx[-1] - fac.KgainK.T @ gu[-1])
@@ -340,10 +392,7 @@ class PartitionedKKT:
 
         # back-substitute interiors (batched)
         xpair = jnp.concatenate([xB[:-1], xB[1:]], axis=1)   # [P, 2nx]
-        zeta = t - jnp.einsum("psb,pb->ps", fac.W, xpair)
-
-        u0 = zeta[:, off_u:off_u + nu]                   # [P, nu]
-        vint = zeta[:, off_v:off_v + (L - 1) * nv].reshape(P, L - 1, nv)
+        u0, vint, dy = self._backsub(fac.W, dims, t, xpair)
         vfull = jnp.concatenate(
             [jnp.concatenate([xB[:-1], u0], axis=1)[:, None, :], vint],
             axis=1)                                       # [P, L, nv]
@@ -351,29 +400,20 @@ class PartitionedKKT:
         dx = jnp.concatenate(
             [vfull.reshape(P * L, nv),
              jnp.concatenate([xB[-1], duK])[None]], axis=0)
-        dy = zeta[:, off_y:off_y + L * nx].reshape(P * L, nx)
-        return dx, dy
+        return dx, dy.reshape(P * L, nx)
 
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
-        fm = qp.fixed_mask()
-
         def base(a1, a2, a3, a4):
-            g = K_.reduce_r1(qp, z, w, mask, a1, a3, a4)
-            tau = jnp.where(fm, a2["fix"], 0.0)
-            dx, dyd = self.solve_reduced(fac, qp, g - BIG * tau, a2["dyn"])
-            # dynamically fixed multipliers from exact stationarity
-            Hdx = K_.reduced_H_matvec(qp, z, w, mask, dx)
-            AdT = qp.matvec_eqT({"dyn": dyd,
-                                 "fix": jnp.zeros_like(g)})
-            dyf = jnp.where(fm, g + Hdx - AdT, 0.0)
-            dz, dw = K_.recover_zw(qp, z, w, mask, dx, a3, a4)
-            return dx, {"dyn": dyd, "fix": dyf}, dz, dw
+            return K_.stage_base_solve(
+                lambda g, r2d: self.solve_reduced(fac, qp, g, r2d),
+                qp, z, w, mask, a1, a2, a3, a4)
 
         sol = base(r1, r2, r3, r4)
         if self.refine_rounds > 0:
             sol = K_.refine(base, qp, z, w, mask, r1, r2, r3, r4, sol,
                             eps=self.refine_eps,
-                            max_rounds=self.refine_rounds)
+                            max_rounds=self.refine_rounds,
+                            unroll=self.refine_unroll)
         return sol
 
 

@@ -450,8 +450,78 @@ class Mehrotra:
 
     # -- full solve with hot-start fallback (C:696-733) ----------------------
 
+    def _solve_loop(self, qp, state: IPState, hot: bool, iter_cap):
+        """Run IP steps to termination as ONE ``lax.while_loop`` on device
+        (the reference's single-call Hqp_IpsMehrotra::solve, C:696-733).
+
+        ``hot`` is static; the hot-start failure test (per-iteration phi
+        must decay at least like 1.2^-k and alpha must stay above 1e-5,
+        C:707-719) is folded into the loop carry as a break flag so a
+        failing hot solve exits immediately for the host to fall back
+        to a cold start.  Returns (state, hot_failed)."""
+
+        def cond(c):
+            st, test1, fail = c
+            return (st.result == ITERATING) & (st.iter < iter_cap) & ~fail
+
+        def body(c):
+            st, test1, fail = c
+            st = self.step(qp, st)
+            if hot:
+                it = st.iter
+                test1 = jnp.where(it == 1, st.test, test1)
+                failn = (it >= 2) & (
+                    (st.test > test1 / 1.2 ** (it.astype(jnp.float64) - 1.0))
+                    | (st.alpha < 1.0e-5))
+                fail = fail | failn
+            return st, test1, fail
+
+        st, _, fail = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(jnp.inf), jnp.asarray(False)))
+        return st, fail
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _solve_loop_jit(self, qp, state, hot, iter_cap):
+        return self._solve_loop(qp, state, hot, iter_cap)
+
+    def solve_device(self, qp, state: IPState) -> IPState:
+        """Cold-started full solve as a single device program -- jittable
+        and vmappable (scenario batches solve QPs to completion in one
+        compiled call, hqp_tpu.parallel.scenarios.make_scenario_solve)."""
+        state = self._cold_start(qp, state)
+        st, _ = self._solve_loop(qp, state, False,
+                                 jnp.asarray(self.max_iters))
+        return st
+
     def solve(self, qp, state: IPState, hot: bool = False):
-        """Python-level driver with hot-start failure fallback (C:696-733)."""
+        """Full solve with hot-start failure fallback (C:696-733).
+
+        The iteration runs on device (:meth:`_solve_loop`); only the
+        rare hot-start fallback decision crosses back to the host."""
+        if not self.jit:
+            return self._solve_host(qp, state, hot)
+        fail_iters = 0
+        if hot:
+            st = self.hot_start(qp, state)
+            st, failed = self._solve_loop_jit(
+                qp, st, True, jnp.asarray(min(self.max_warm_iters,
+                                              self.max_iters)))
+            if bool(failed) or int(st.result) != OPTIMAL:
+                fail_iters = int(st.iter)
+                st = self.cold_start(qp, st)
+                st, _ = self._solve_loop_jit(
+                    qp, st, False,
+                    jnp.asarray(max(self.max_iters - fail_iters, 1)))
+        else:
+            st = self.cold_start(qp, state)
+            st, _ = self._solve_loop_jit(qp, st, False,
+                                         jnp.asarray(self.max_iters))
+        return dataclasses.replace(
+            st, iter=st.iter + jnp.asarray(fail_iters))
+
+    def _solve_host(self, qp, state: IPState, hot: bool = False):
+        """Host-driven stepper (for non-jittable backends, e.g. the
+        host-callback SparseHostKKT); same logic as the device loop."""
         fail_iters = 0
         state = self.hot_start(qp, state) if hot else self.cold_start(qp, state)
         hot_started = hot

@@ -57,12 +57,19 @@ class StageQP:
 
     minimize    sum_k 1/2 v_k' Q_k v_k + c_k' v_k
     subject to  A_k v_k - x_{k+1} + b_k = 0        k = 0..K-1   (dynamics)
+                E_k v_k + e_k = 0                                (stage equality)
                 lb_k <= v_k <= ub_k                              (box)
                 d_lo_k <= C_k v_k <= d_up_k                      (general)
 
     Shapes: K1 = K + 1 stages, nv = nx + nu padded variables per stage.
     Stage K's u-components are padding (var_mask False) with lb = ub = 0.
     Infinite bounds mark absent constraints.
+
+    The per-stage general equality rows E (masked by eqg_mask) are the
+    role of the reference's stage-wise equality bucket eliminated by
+    GE_QP inside the Riccati recursion (hqp/Hqp_IpLQDOCP.C:1377,
+    meschach/addon_hqp.h:207-209; assembled by Hqp_Docp's parse_constr,
+    hqp/Hqp_Docp.C:372).  E = None means no such rows (most programs).
     """
 
     Q: jnp.ndarray      # [K1, nv, nv] symmetric stage Hessian blocks
@@ -76,6 +83,9 @@ class StageQP:
     d_up: jnp.ndarray   # [K1, mc]
     var_mask: jnp.ndarray  # [K1, nv] bool
     con_mask: jnp.ndarray  # [K1, mc] bool
+    E: jnp.ndarray | None = None         # [K1, meq, nv]
+    e: jnp.ndarray | None = None         # [K1, meq]
+    eqg_mask: jnp.ndarray | None = None  # [K1, meq] bool
 
     # ---- static shape info -------------------------------------------------
     @property
@@ -97,6 +107,15 @@ class StageQP:
     @property
     def mc(self) -> int:
         return self.C.shape[1]
+
+    @property
+    def meq(self) -> int:
+        return 0 if self.E is None else self.E.shape[1]
+
+    def has_gen_eq(self) -> bool:
+        """Static: does the program carry general stage equality rows?
+        (decides the presence of the 'gen' key in the equality pytrees)."""
+        return self.E is not None and self.E.shape[1] > 0
 
     # ---- masks -------------------------------------------------------------
     def fixed_mask(self) -> jnp.ndarray:
@@ -120,8 +139,11 @@ class StageQP:
         )
 
     def eq_mask(self):
-        return {"dyn": jnp.ones_like(self.b, dtype=bool),
-                "fix": self.fixed_mask()}
+        out = {"dyn": jnp.ones_like(self.b, dtype=bool),
+               "fix": self.fixed_mask()}
+        if self.has_gen_eq():
+            out["gen"] = self.eqg_mask
+        return out
 
     def x_mask(self) -> jnp.ndarray:
         """Mask of existing variables.  var_mask == False components are
@@ -145,12 +167,17 @@ class StageQP:
         return jnp.einsum("kij,kj->ki", self.Q, v)
 
     def eval_eq(self, v):
-        """Equality groups: dynamics A_k v_k - x_{k+1} + b_k  and fixed
-        variables v_i - t_i (in 'Ax + b' form)."""
+        """Equality groups: dynamics A_k v_k - x_{k+1} + b_k, fixed
+        variables v_i - t_i, and general stage rows E_k v_k + e_k
+        (all in 'Ax + b' form)."""
         Av = jnp.einsum("kij,kj->ki", self.A, v[:-1])
         fix = self.fixed_mask()
-        return {"dyn": Av - v[1:, : self.nx] + self.b,
-                "fix": jnp.where(fix, v - self.fixed_val(), 0.0)}
+        out = {"dyn": Av - v[1:, : self.nx] + self.b,
+               "fix": jnp.where(fix, v - self.fixed_val(), 0.0)}
+        if self.has_gen_eq():
+            Ev = jnp.einsum("kij,kj->ki", self.E, v)
+            out["gen"] = jnp.where(self.eqg_mask, Ev + self.e, 0.0)
+        return out
 
     def matvec_eqT(self, y):
         """Adjoint of eval_eq's linear part into variable space [K1, nv]."""
@@ -159,6 +186,9 @@ class StageQP:
         out = out.at[:-1].add(jnp.einsum("kij,ki->kj", self.A, yd))
         out = out.at[1:, : self.nx].add(-yd)
         out = out + jnp.where(self.fixed_mask(), y["fix"], 0.0)
+        if self.has_gen_eq():
+            yg = jnp.where(self.eqg_mask, y["gen"], 0.0)
+            out = out + jnp.einsum("kij,ki->kj", self.E, yg)
         return out
 
     def matvec_ineq(self, v) -> IneqGroups:
@@ -189,8 +219,11 @@ class StageQP:
         )
 
     def eq_offsets(self):
-        return {"dyn": self.b,
-                "fix": jnp.where(self.fixed_mask(), -self.fixed_val(), 0.0)}
+        out = {"dyn": self.b,
+               "fix": jnp.where(self.fixed_mask(), -self.fixed_val(), 0.0)}
+        if self.has_gen_eq():
+            out["gen"] = jnp.where(self.eqg_mask, self.e, 0.0)
+        return out
 
     def norm_data(self):
         """max of infinity norms of Q, A, C, c, b, d (masked).
@@ -211,6 +244,10 @@ class StageQP:
             mk.norm_inf(_z(self.d_lo), im.gl),
             mk.norm_inf(_z(self.d_up), im.gu),
         ]
+        if self.has_gen_eq():
+            terms.append(jnp.max(jnp.abs(
+                self.E * self.eqg_mask[:, :, None])))
+            terms.append(mk.norm_inf(self.e, self.eqg_mask))
         out = jnp.asarray(0.0)
         for t in terms:
             out = jnp.maximum(out, t)

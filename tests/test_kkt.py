@@ -29,13 +29,21 @@ def random_stage_qp(K=7, nx=3, nu=2, mc=2, seed=0):
     lb[:K, nx:] = -1.0
     ub[:K, nx:] = 1.0
     lb[K, nx:] = ub[K, nx:] = 0.0  # padded terminal controls
-    C = rng.standard_normal((K1, mc, nv)) * 0.3
-    C[K, :, nx:] = 0.0  # no terminal control coupling
-    d_lo = np.full((K1, mc), -np.inf)
-    d_up = 1.0 + rng.random((K1, mc))
     var_mask = np.ones((K1, nv), bool)
     var_mask[K, nx:] = False
-    con_mask = np.ones((K1, mc), bool)
+    if mc == 0:
+        # mc = 0 programs carry one masked-off padding row (zero-size
+        # buffers are never built; matches hqp_tpu.docp.Docp.setup)
+        C = np.zeros((K1, 1, nv))
+        d_lo = np.full((K1, 1), -np.inf)
+        d_up = np.full((K1, 1), np.inf)
+        con_mask = np.zeros((K1, 1), bool)
+    else:
+        C = rng.standard_normal((K1, mc, nv)) * 0.3
+        C[K, :, nx:] = 0.0  # no terminal control coupling
+        d_lo = np.full((K1, mc), -np.inf)
+        d_up = 1.0 + rng.random((K1, mc))
+        con_mask = np.ones((K1, mc), bool)
     return StageQP(
         Q=jnp.asarray(Q), c=jnp.asarray(c), A=jnp.asarray(A),
         b=jnp.asarray(b), lb=jnp.asarray(lb), ub=jnp.asarray(ub),
