@@ -1,0 +1,104 @@
+"""Multi-device scaling of the sharded partitioned KKT (BASELINE config 5).
+
+Run under a virtual CPU mesh (real multi-chip hardware is not available to
+the builder; the same shard_map program runs unchanged on a TPU mesh):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py
+
+Times factor+solve of the 960-stage DID KKT on 1, 2, 4, 8-device meshes of
+the SAME host and prints one JSON line with iterations/s and scaling
+efficiency relative to 1 device.  On a 2-core host the absolute numbers
+are CPU-bound; the number that matters is that the communication pattern
+(two psum-gathers of O(P nx^2) floats, horizon-independent) adds no
+per-device cost as the mesh grows.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+import hqp_tpu  # noqa: F401, E402
+from hqp_tpu.models.did import PrgDID  # noqa: E402
+from hqp_tpu.parallel.sharded_kkt import ShardedPartitionedKKT  # noqa: E402
+from hqp_tpu.qp.kkt_partitioned import PartitionedKKT  # noqa: E402
+import hqp_tpu.utils.masked as mk  # noqa: E402
+
+KMAX = 960
+REPS = 5
+
+
+def build(kmax):
+    prg = PrgDID(kmax=kmax, with_cns=True)
+    v0 = prg.setup()
+    Q0 = jnp.tile(jnp.eye(prg.nv) * 1e-2, (prg.K + 1, 1, 1))
+    _, qp = prg.make_qp(v0, Q=Q0)
+    mask = qp.ineq_mask()
+    ones = mk.fill(mk.tmap(lambda m: m.astype(jnp.float64), mask), 1.0)
+    r1 = jnp.where(qp.x_mask(), qp.c, 0.0)
+    r2 = qp.eq_offsets()
+    r3 = mk.fill(mask, 0.0)
+    r4 = mk.fill(mask, 0.0)
+    return qp, mask, ones, (r1, r2, r3, r4)
+
+
+def time_backend(be, qp, mask, ones, rhs, reps=REPS):
+    r1, r2, r3, r4 = rhs
+
+    def fs(qp):
+        fac = be.factor(qp, ones, ones, mask)
+        return be.solve(fac, qp, ones, ones, mask, r1, r2, r3, r4)
+
+    f = jax.jit(fs)
+    out = f(qp)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(qp)
+    jax.block_until_ready(out[0])
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    qp, mask, ones, rhs = build(KMAX)
+    devs = jax.devices()
+    ncores = os.cpu_count() or 1
+    out = {"kmax": KMAX, "n_devices_available": len(devs),
+           "host_cores": ncores,
+           "note": ("virtual CPU mesh; efficiencies beyond the physical "
+                    "core count are core-bound, not communication-bound")}
+    out["unsharded_ms"] = round(
+        time_backend(PartitionedKKT(L=20), qp, mask, ones, rhs), 3)
+    # strong scaling of the sharded backend against ITSELF on a 1-device
+    # mesh (same code path, so shard_map overheads cancel)
+    times = {}
+    for nd in (1, 2, 4, 8):
+        if nd > len(devs):
+            break
+        mesh = Mesh(np.array(devs[:nd]), ("sp",))
+        be = ShardedPartitionedKKT(mesh, L=20)
+        times[nd] = time_backend(be, qp, mask, ones, rhs)
+    out["factor_solve_ms"] = {str(k): round(v, 3) for k, v in times.items()}
+    base = times[1]
+    for nd, t in times.items():
+        if nd > 1:
+            out[f"scaling_eff_{nd}dev"] = round(base / (t * nd), 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,10 +45,6 @@ class Docp:
     nu: int = 0
     mc: int = 0
 
-    #: relaxation band for fixed (min == max) GENERAL constraints; fixed
-    #: variables are exact equality rows (see setup())
-    fix_band: float = 1e-7
-
     name = "Docp"
 
     # ---- user interface (override) ----------------------------------------
@@ -104,30 +100,45 @@ class Docp:
         c_max = get("c_max", (K1, mc), inf)
 
         # Fixed variables (min == max; statically known values since bounds
-        # are setup-time arrays) are PINNED: they are not QP variables at
-        # all (var_mask False), their values are held in the iterate, and
-        # the dynamics residuals carry them -- the role of the reference's
-        # equality rows (hqp/Hqp_Docp.C:372 parse_constr _xu_eq bucket),
-        # realized as structural elimination instead of rows.
-        # Fixed GENERAL constraints (c_min == c_max) stay as two-sided
-        # inequalities relaxed by a tiny band to keep a strict interior.
-        fixed_c = jnp.isfinite(c_min) & (c_min == c_max)
-        band = self.fix_band * jnp.maximum(1.0, jnp.abs(jnp.where(
-            jnp.isfinite(c_min), c_min, 0.0)))
-        c_min = jnp.where(fixed_c, c_min - band, c_min)
-        c_max = jnp.where(fixed_c, c_max + band, c_max)
+        # are setup-time arrays) -- the reference's equality bucket
+        # (hqp/Hqp_Docp.C:372 parse_constr _xu_eq):
+        #   * stage-0 states and fixed CONTROLS are PINNED: structurally
+        #     eliminated (var_mask False), values held in the iterate, the
+        #     dynamics residuals carry them.  Exact, and keeps the common
+        #     MPC shape (fixed x0) out of the equality machinery entirely.
+        #   * fixed STATES at stages k >= 1 (e.g. a fixed terminal state)
+        #     stay as QP variables with lb == ub: StageQP's fixed_mask()
+        #     turns them into exact 'fix' equality rows handled by every
+        #     KKT backend (penalty + iterative refinement), including the
+        #     sequential Riccati recursion which cannot represent absent
+        #     states mid-horizon (hqp_tpu/qp/kkt.py RiccatiKKT docstring).
+        # Fixed GENERAL constraints (c_min == c_max) become exact per-stage
+        # equality rows E_k v_k + e_k = 0, linearized each make_qp -- the
+        # role of GE_QP stage-constraint elimination
+        # (hqp/Hqp_IpLQDOCP.C:1377; meschach/addon_hqp.h:207-209).
+        fixed_c = np.isfinite(np.asarray(c_min)) & (
+            np.asarray(c_min) == np.asarray(c_max))
+        self._has_eqg = bool(fixed_c.any())
+        self._eqg_mask = jnp.asarray(fixed_c)
+        self._c_eq_target = jnp.where(
+            self._eqg_mask, jnp.asarray(c_min, jnp.float64), 0.0)
+        c_min = jnp.where(self._eqg_mask, -inf, c_min)
+        c_max = jnp.where(self._eqg_mask, inf, c_max)
 
         fx = np.isfinite(np.asarray(x_min)) & (np.asarray(x_min)
                                                == np.asarray(x_max))
         fu = np.isfinite(np.asarray(u_min)) & (np.asarray(u_min)
                                                == np.asarray(u_max))
+        fx_pin = np.zeros_like(fx)
+        fx_pin[0] = fx[0]            # structural pins: stage-0 states only
 
         # per-stage variable v_k = (x_k, u_k); u padding at stage K and
         # pinned variables are structurally absent
         var_mask = np.concatenate(
-            [~fx, np.concatenate([~fu, np.zeros((1, nu), bool)])], axis=1)
+            [~fx_pin, np.concatenate([~fu, np.zeros((1, nu), bool)])],
+            axis=1)
         pin_mask = np.concatenate(
-            [fx, np.concatenate([fu, np.zeros((1, nu), bool)])], axis=1)
+            [fx_pin, np.concatenate([fu, np.zeros((1, nu), bool)])], axis=1)
         lb = np.concatenate(
             [np.asarray(x_min), np.concatenate([np.asarray(u_min),
                                                 np.full((1, nu), -inf)])],
@@ -249,11 +260,18 @@ class Docp:
         A, cgrad, C = self.eval_derivs(v)
         if Q is None:
             Q = jnp.zeros((self.K + 1, self.nv, self.nv))
+        eqg = {}
+        if self._has_eqg:
+            # fixed general constraints c(v) == t as exact equality rows:
+            # C_k dv + (c(v) - t) = 0 in the delta coordinates of the QP
+            eqg = dict(E=C, eqg_mask=self._eqg_mask,
+                       e=jnp.where(self._eqg_mask,
+                                   cvals - self._c_eq_target, 0.0))
         qp = StageQP(
             Q=Q, c=cgrad, A=A, b=b,
             lb=lb - v, ub=ub - v,
             C=C, d_lo=c_min - cvals, d_up=c_max - cvals,
-            var_mask=var_mask, con_mask=con_mask,
+            var_mask=var_mask, con_mask=con_mask, **eqg,
         )
         return f, qp
 
@@ -267,9 +285,13 @@ class Docp:
         Analog of Hqp_SqpProgram::update_fbd for line search."""
         lb, ub, c_min, c_max, var_mask, con_mask = self._bounds
         f, b, cvals = self.eval_vals(v_new)
+        upd = {}
+        if self._has_eqg:
+            upd["e"] = jnp.where(self._eqg_mask,
+                                 cvals - self._c_eq_target, 0.0)
         qp = dataclasses.replace(
             qp, b=b, lb=lb - v_new, ub=ub - v_new,
-            d_lo=c_min - cvals, d_up=c_max - cvals)
+            d_lo=c_min - cvals, d_up=c_max - cvals, **upd)
         return f, qp
 
     @partial(jax.jit, static_argnums=0)
@@ -292,6 +314,9 @@ class Docp:
         zg = (jnp.where(jnp.isfinite(c_min) & con_mask, z.gl, 0.0)
               - jnp.where(jnp.isfinite(c_max) & con_mask, z.gu, 0.0))
         out = out + (zbl - zbu) + jnp.einsum("kij,ki->kj", C, zg)
+        if self._has_eqg and isinstance(y, dict) and "gen" in y:
+            yg = jnp.where(self._eqg_mask, y["gen"], 0.0)
+            out = out + jnp.einsum("kij,ki->kj", C, yg)
         return cgrad - out
 
     def eval_hess_blocks(self, v, y, z):

@@ -2,23 +2,40 @@
 
 TPU-native re-creation of the reference's Prg_DynamicOpt
 (omu/Prg_DynamicOpt.{h,C}; formulation documented at Prg_DynamicOpt.h:
-36-200): optimal control of a hosted model with a fully weighted
+36-200): optimal control of a hosted model with the fully weighted
 objective
 
     J = sum_initial + sum_path + sum_final  of
         y_lin*y + y_quad*((y - y_ref)/y_nominal)^2
-      + u_lin*u + u_quad*((u - u_ref)/u_nominal)^2
-      + du_quad*(du/dt)^2
-  and soft path constraints  y_soft_min <= y <= y_soft_max  penalized
-  quadratically with weight s_quad  (the reference's slack-variable soft
-  constraints, Prg_DynamicOpt.h soft formulation; here realized as exact
-  quadratic penalties -- equivalent for the quadratic term, without the
-  extra slack variables).
+      + u_lin*u + u_quad*((u - u_ref)/u_nominal)^2 + du_quad*(du/dt)^2
+      + s_lin*s + s_quad*s^2          (soft-constraint slack variables)
+      + t_lin*T                       (free final time, mdl_t_scale)
 
-Controls are piecewise constant over sample periods (mdl_u_order = 0);
-hard bounds on y are expressed through the general constraint path.
+realized with the reference's own mechanisms, re-expressed stage-locally:
+
+* soft path constraints  y_soft_min <= y <= y_soft_max  use genuine SLACK
+  VARIABLES (extra per-stage controls s >= 0 with rows y + s >= y_soft_min
+  / y - s <= y_soft_max) carrying linear (L1) + quadratic weights --
+  Prg_DynamicOpt.h:85-89, 201-223, `_ns` h:333.  With only quadratic
+  weight the slack-free penalty form is used instead (equivalent).
+* piecewise-LINEAR controls (``u_order=1``, the reference default
+  mdl_u_order h:317): the control becomes a state with du as the real
+  optimization variable (u' = du over each period) -- which also gives the
+  du_quad rate term for free.  ``u_order=0`` keeps piecewise-constant
+  controls; a nonzero du weight then augments the state with the previous
+  u (discrete update) and penalizes (u_k - u_{k-1}).
+* free final time (`mdl_t_scale_active` h:321-324): a constant extra
+  state T with dT' = 0 scales the dynamics dx = T f(x, u); horizon time
+  runs over [0, 1] and the physical final time T is optimized (weight
+  ``t_weight1`` => minimum-time problems).
+* ``decimation`` (h:233-240): the model is sampled `decimation` times per
+  control stage (maps onto Omu sample periods per stage, `sps`).
+* final-stage output bounds yf_min/yf_max (the reference's separate
+  initial/path/final constraint sets).
+
 About 50 of the reference's mdl_* knobs map onto the constructor
-arguments / attributes here (Prg_DynamicOpt.C:121-170).
+arguments here (Prg_DynamicOpt.C:121-170); the shell exposes them under
+the same names (hqp_tpu/shell.py).
 """
 
 from __future__ import annotations
@@ -42,20 +59,27 @@ class DynamicOpt(OmuProgram):
                  integrator=None,
                  x0=None, x0_fixed=True,
                  u_min=None, u_max=None, u_init=None,
+                 du_min=None, du_max=None,
                  y_ref=None, y_weight2=None, y_weight1=None,
                  yf_ref=None, yf_weight2=None, yf_weight1=None,
-                 u_ref=None, u_weight2=None, du_weight2=None,
-                 y_min=None, y_max=None,
-                 y_soft_min=None, y_soft_max=None, s_quad=1e4):
+                 u_ref=None, u_weight2=None, u_weight1=None,
+                 du_weight2=None,
+                 y_min=None, y_max=None, yf_min=None, yf_max=None,
+                 y_soft_min=None, y_soft_max=None,
+                 s_quad=1e4, s_lin=0.0,
+                 u_order: int = 0,
+                 t_scale: bool = False, t_weight1=0.0,
+                 t_scale_min=0.1, t_scale_max=10.0,
+                 decimation: int = 1):
         super().__init__(integrator if integrator is not None
                          else RK4(steps=2))
         self.model = model
         self.K = K
         self.t0, self.tf = float(t0), float(tf)
-        self.nx = model.nx
-        self.nu = model.nu
+        self.sps = max(1, int(decimation))
 
-        ny = model.ny
+        nxm, num, ny = model.nx, model.nu, model.ny
+        self.nxm, self.num, self.ny = nxm, num, ny
 
         def arr(v, size, default):
             if v is None:
@@ -63,31 +87,66 @@ class DynamicOpt(OmuProgram):
             return np.broadcast_to(np.asarray(v, np.float64),
                                    (size,)).copy()
 
-        self.x0 = arr(x0, model.nx, 0.0)
+        self.x0 = arr(x0, nxm, 0.0)
         self.x0_fixed = x0_fixed
-        self._u_min = arr(u_min, model.nu, -np.inf)
-        self._u_max = arr(u_max, model.nu, np.inf)
-        self._u_init = arr(u_init, model.nu, 0.0)
+        self._u_min = arr(u_min, num, -np.inf)
+        self._u_max = arr(u_max, num, np.inf)
+        self._du_min = arr(du_min, num, -np.inf)
+        self._du_max = arr(du_max, num, np.inf)
+        self._u_init = arr(u_init, num, 0.0)
         self.y_ref = jnp.asarray(arr(y_ref, ny, 0.0))
         self.y_w2 = jnp.asarray(arr(y_weight2, ny, 0.0))
         self.y_w1 = jnp.asarray(arr(y_weight1, ny, 0.0))
         self.yf_ref = jnp.asarray(arr(yf_ref, ny, 0.0))
         self.yf_w2 = jnp.asarray(arr(yf_weight2, ny, 0.0))
         self.yf_w1 = jnp.asarray(arr(yf_weight1, ny, 0.0))
-        self.u_ref = jnp.asarray(arr(u_ref, model.nu, 0.0))
-        self.u_w2 = jnp.asarray(arr(u_weight2, model.nu, 0.0))
-        self.du_w2 = jnp.asarray(arr(du_weight2, model.nu, 0.0))
+        self.u_ref = jnp.asarray(arr(u_ref, num, 0.0))
+        self.u_w2 = jnp.asarray(arr(u_weight2, num, 0.0))
+        self.u_w1 = jnp.asarray(arr(u_weight1, num, 0.0))
+        self.du_w2 = jnp.asarray(arr(du_weight2, num, 0.0))
         self.y_min = arr(y_min, ny, -np.inf)
         self.y_max = arr(y_max, ny, np.inf)
+        self.yf_min = arr(yf_min, ny, np.nan)   # nan = inherit path bound
+        self.yf_max = arr(yf_max, ny, np.nan)
         self.y_soft_min = jnp.asarray(arr(y_soft_min, ny, -np.inf))
         self.y_soft_max = jnp.asarray(arr(y_soft_max, ny, np.inf))
-        self.s_quad = s_quad
+        self.s_quad = jnp.asarray(arr(s_quad, ny, 0.0))
+        self.s_lin = jnp.asarray(arr(s_lin, ny, 0.0))
         self.ynom = jnp.asarray(arr(model.y_nominal, ny, 1.0))
 
-        # hard output bounds become general constraint rows
-        self._hard = (np.isfinite(self.y_min)
-                      | np.isfinite(self.y_max)).any()
-        self.mc = ny if self._hard else 0
+        # -- layout -----------------------------------------------------------
+        if u_order not in (0, 1):
+            raise ValueError("u_order must be 0 or 1 (mdl_u_order)")
+        self.u_order = u_order
+        self._du_pen = bool(np.any(np.asarray(self.du_w2) > 0.0))
+        #: controls live as states (piecewise linear, or u_prev tracking)
+        self._u_state = (u_order == 1) or self._du_pen
+        self.t_free = bool(t_scale)
+        self.t_w1 = float(t_weight1)
+        self.t_min, self.t_max = float(t_scale_min), float(t_scale_max)
+
+        self._iu0 = nxm if self._u_state else None
+        self._iT = nxm + (num if self._u_state else 0)
+        self.nx = self._iT + (1 if self.t_free else 0)
+
+        # soft constraints: slack variables iff a linear weight is present
+        soft_lo = np.isfinite(np.asarray(self.y_soft_min))
+        soft_hi = np.isfinite(np.asarray(self.y_soft_max))
+        self._soft_any = bool(soft_lo.any() or soft_hi.any())
+        self._slack = self._soft_any and bool(
+            np.any(np.asarray(self.s_lin) > 0.0))
+        self._soft_lo_idx = np.where(soft_lo)[0]
+        self._soft_hi_idx = np.where(soft_hi)[0]
+        ns = (len(self._soft_lo_idx) + len(self._soft_hi_idx)
+              if self._slack else 0)
+        self.ns = ns
+        self.nu = num + ns
+
+        # hard output bounds (path or final) become general constraint rows
+        hard_path = np.isfinite(self.y_min) | np.isfinite(self.y_max)
+        hard_fin = np.isfinite(self.yf_min) | np.isfinite(self.yf_max)
+        self._hard = bool(hard_path.any() or hard_fin.any())
+        self.mc = (ny if self._hard else 0) + ns
 
         self._p = model.default_p()
 
@@ -95,56 +154,166 @@ class DynamicOpt(OmuProgram):
 
     def setup_vars(self):
         K, K1, nx, nu = self.K, self.K + 1, self.nx, self.nu
+        nxm, num, ny, ns = self.nxm, self.num, self.ny, self.ns
         inf = np.inf
         x_min = np.full((K1, nx), -inf)
         x_max = np.full((K1, nx), inf)
-        x_init = np.tile(self.x0, (K1, 1))
+        x_init = np.zeros((K1, nx))
+        x_init[:, :nxm] = self.x0
         if self.x0_fixed:
-            x_min[0] = x_max[0] = self.x0
-        out = dict(
-            x_min=x_min, x_max=x_max, x_init=x_init,
-            u_min=np.tile(self._u_min, (K, 1)),
-            u_max=np.tile(self._u_max, (K, 1)),
-            u_init=np.tile(self._u_init, (K, 1)),
-        )
-        if self._hard:
-            c_min = np.tile(np.where(np.isfinite(self.y_min),
-                                     self.y_min, -inf), (K1, 1))
-            c_max = np.tile(np.where(np.isfinite(self.y_max),
-                                     self.y_max, inf), (K1, 1))
+            x_min[0, :nxm] = x_max[0, :nxm] = self.x0
+        if self.u_order == 1:
+            # the control ramp knots are states: bound + initialize them
+            x_min[:, self._iu0:self._iu0 + num] = self._u_min
+            x_max[:, self._iu0:self._iu0 + num] = self._u_max
+            x_init[:, self._iu0:self._iu0 + num] = self._u_init
+        elif self._u_state:
+            x_init[:, self._iu0:self._iu0 + num] = self._u_init
+        if self.t_free:
+            x_min[:, self._iT] = self.t_min
+            x_max[:, self._iT] = self.t_max
+            x_init[:, self._iT] = 1.0
+
+        u_min = np.full((K, nu), -inf)
+        u_max = np.full((K, nu), inf)
+        u_init = np.zeros((K, nu))
+        if self.u_order == 1:
+            u_min[:, :num] = self._du_min
+            u_max[:, :num] = self._du_max
+        else:
+            u_min[:, :num] = self._u_min
+            u_max[:, :num] = self._u_max
+            u_init[:, :num] = self._u_init
+        if ns:
+            u_min[:, num:] = 0.0          # slacks s >= 0
+
+        out = dict(x_min=x_min, x_max=x_max, x_init=x_init,
+                   u_min=u_min, u_max=u_max, u_init=u_init)
+
+        if self.mc:
+            c_min = np.full((K1, self.mc), -inf)
+            c_max = np.full((K1, self.mc), inf)
+            if self._hard:
+                c_min[:, :ny] = self.y_min
+                c_max[:, :ny] = self.y_max
+                # final-stage set: yf bound where given, else path bound
+                c_min[K, :ny] = np.where(np.isnan(self.yf_min),
+                                         self.y_min, self.yf_min)
+                c_max[K, :ny] = np.where(np.isnan(self.yf_max),
+                                         self.y_max, self.yf_max)
+            if ns:
+                off = ny if self._hard else 0
+                # slack rows (path stages only; stage K has no controls,
+                # its soft terms fall back to the quadratic penalty)
+                c_min[:K, off:] = 0.0
             out["c_min"] = c_min
             out["c_max"] = c_max
         return out
 
-    # -- dynamics + objective ------------------------------------------------
+    # -- pieces --------------------------------------------------------------
+
+    def _split(self, x, u):
+        """(x_model, u_real_for_model, T, du, s) at a path stage."""
+        xm = x[: self.nxm]
+        if self.u_order == 1:
+            ur = x[self._iu0: self._iu0 + self.num]
+            du = u[: self.num]
+        else:
+            ur = u[: self.num]
+            du = None
+        T = x[self._iT] if self.t_free else 1.0
+        s = u[self.num:] if self.ns else None
+        return xm, ur, T, du, s
+
+    # -- dynamics ------------------------------------------------------------
 
     def continuous(self, kk, t, x, u, dx):
-        return self.model.ode(t, x, u, self._p) - dx
+        xm, ur, T, du, _ = self._split(x, u)
+        rows = [T * self.model.ode(t, xm, ur, self._p) - dx[: self.nxm]]
+        if self._u_state:
+            rate = (u[: self.num] if self.u_order == 1
+                    else jnp.zeros(self.num))
+            rows.append(rate - dx[self._iu0: self._iu0 + self.num])
+        if self.t_free:
+            rows.append(-dx[self._iT:  self._iT + 1])
+        return jnp.concatenate(rows)
 
-    def _stage_cost(self, kk, t, x, u, final):
-        y = self.model.outputs(t, x, u, self._p)
-        ys = (y - jnp.where(final, self.yf_ref, self.y_ref)) / self.ynom
-        w2 = jnp.where(final, self.yf_w2, self.y_w2)
-        w1 = jnp.where(final, self.yf_w1, self.y_w1)
-        J = jnp.sum(w2 * ys * ys) + jnp.sum(w1 * y)
-        # soft output constraints (quadratic penalty)
+    # -- objective + constraints ---------------------------------------------
+
+    def _soft_penalty(self, y):
+        """Quadratic-only soft penalty (slack-free form)."""
         lo = jnp.where(jnp.isfinite(self.y_soft_min),
                        jnp.maximum(0.0, self.y_soft_min - y), 0.0)
         hi = jnp.where(jnp.isfinite(self.y_soft_max),
                        jnp.maximum(0.0, y - self.y_soft_max), 0.0)
-        J = J + self.s_quad * (jnp.sum(lo * lo) + jnp.sum(hi * hi))
-        # control terms (path only)
-        us = u - self.u_ref
-        J = J + jnp.where(final, 0.0, jnp.sum(self.u_w2 * us * us))
+        return jnp.sum(self.s_quad * (lo * lo + hi * hi)) \
+            + jnp.sum(self.s_lin * (lo + hi))
+
+    def _stage_cost(self, kk, t, x, u, xf, final):
+        xm, ur, T, du, s = self._split(x, u)
+        y = self.model.outputs(t, xm, ur, self._p)
+        ys = (y - jnp.where(final, self.yf_ref, self.y_ref)) / self.ynom
+        w2 = jnp.where(final, self.yf_w2, self.y_w2)
+        w1 = jnp.where(final, self.yf_w1, self.y_w1)
+        J = jnp.sum(w2 * ys * ys) + jnp.sum(w1 * y)
+
+        if self._slack:
+            # path: linear + quadratic slack weights; final: penalty form
+            if self.ns:
+                Js = (jnp.sum(self.s_lin[self._sidx()] * s)
+                      + jnp.sum(self.s_quad[self._sidx()] * s * s))
+                J = J + jnp.where(final, self._soft_penalty(y), Js)
+        elif self._soft_any:
+            J = J + self._soft_penalty(y)
+
+        us = ur - self.u_ref
+        J = J + jnp.where(final, 0.0,
+                          jnp.sum(self.u_w2 * us * us)
+                          + jnp.sum(self.u_w1 * ur))
+        if self._du_pen:
+            dt = self.ts[1] - self.ts[0]
+            if self.u_order == 1:
+                dr = du
+            else:
+                dr = (ur - x[self._iu0: self._iu0 + self.num]) / dt
+                # no previous control before stage 0
+                dr = jnp.where(kk == 0, jnp.zeros_like(dr), dr)
+            J = J + jnp.where(final, 0.0, jnp.sum(self.du_w2 * dr * dr))
+        if self.t_free:
+            # constant state: charge once, at the final stage
+            J = J + jnp.where(final, self.t_w1 * T, 0.0)
         return J
+
+    def _sidx(self):
+        return np.concatenate([self._soft_lo_idx, self._soft_hi_idx]) \
+            .astype(int)
 
     def update(self, kk, x, u, xf):
         KK = self.K * self.sps
         t = self.ts[kk]
         final = kk >= KK
-        f0 = self._stage_cost(kk, t, x, u, final)
-        if self.mc:
-            c = self.model.outputs(t, x, u, self._p)
-        else:
-            c = jnp.zeros((0,))
-        return xf, f0, c
+        f0 = self._stage_cost(kk, t, x, u, xf, final)
+
+        # discrete part of the state update
+        f = xf
+        if self._u_state and self.u_order == 0:
+            # u_prev tracking state: copy the applied control forward
+            f = f.at[self._iu0: self._iu0 + self.num].set(u[: self.num])
+
+        # constraint rows
+        cs = []
+        xm, ur, T, du, s = self._split(x, u)
+        y = self.model.outputs(t, xm, ur, self._p)
+        if self._hard:
+            cs.append(y)
+        if self.ns:
+            slo = s[: len(self._soft_lo_idx)]
+            shi = s[len(self._soft_lo_idx):]
+            rows = jnp.concatenate([
+                y[self._soft_lo_idx] + slo
+                - self.y_soft_min[self._soft_lo_idx],
+                self.y_soft_max[self._soft_hi_idx]
+                - y[self._soft_hi_idx] + shi])
+            cs.append(rows)
+        c = jnp.concatenate(cs) if cs else jnp.zeros((0,))
+        return f, f0, c

@@ -442,3 +442,168 @@ class OdeTs(Integrator):
             return step(xs, t0 + i * h)
 
         return jax.lax.fori_loop(0, self.steps, body, x)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 adaptivity parity (VERDICT item 8)
+# ---------------------------------------------------------------------------
+
+# Fehlberg 7(8) tableau (the high-order pair rksuite offers as method 3,
+# rksuite/rksuite.f RK(7,8)); 13 stages, 7th-order solution with an
+# 8th-order error estimator.
+_F78_C = jnp.array([0.0, 2 / 27, 1 / 9, 1 / 6, 5 / 12, 1 / 2, 5 / 6,
+                    1 / 6, 2 / 3, 1 / 3, 1.0, 0.0, 1.0])
+_F78_A = [
+    [],
+    [2 / 27],
+    [1 / 36, 1 / 12],
+    [1 / 24, 0.0, 1 / 8],
+    [5 / 12, 0.0, -25 / 16, 25 / 16],
+    [1 / 20, 0.0, 0.0, 1 / 4, 1 / 5],
+    [-25 / 108, 0.0, 0.0, 125 / 108, -65 / 27, 125 / 54],
+    [31 / 300, 0.0, 0.0, 0.0, 61 / 225, -2 / 9, 13 / 900],
+    [2.0, 0.0, 0.0, -53 / 6, 704 / 45, -107 / 9, 67 / 90, 3.0],
+    [-91 / 108, 0.0, 0.0, 23 / 108, -976 / 135, 311 / 54, -19 / 60,
+     17 / 6, -1 / 12],
+    [2383 / 4100, 0.0, 0.0, -341 / 164, 4496 / 1025, -301 / 82,
+     2133 / 4100, 45 / 82, 45 / 164, 18 / 41],
+    [3 / 205, 0.0, 0.0, 0.0, 0.0, -6 / 41, -3 / 205, -3 / 41, 3 / 41,
+     6 / 41, 0.0],
+    [-1777 / 4100, 0.0, 0.0, -341 / 164, 4496 / 1025, -289 / 82,
+     2193 / 4100, 51 / 82, 33 / 164, 12 / 41, 0.0, 1.0],
+]
+_F78_B7 = jnp.array([41 / 840, 0.0, 0.0, 0.0, 0.0, 34 / 105, 9 / 35,
+                     9 / 35, 9 / 280, 9 / 280, 41 / 840, 0.0, 0.0])
+_F78_B8 = jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 34 / 105, 9 / 35, 9 / 35,
+                     9 / 280, 9 / 280, 0.0, 41 / 840, 41 / 840])
+
+
+@modules.register("prg_integrator", "RKF78")
+class RKF78(_EmbeddedRK):
+    """Adaptive Fehlberg 7(8) pair -- the reference's rksuite high-order
+    method (omu/Omu_IntRKsuite.C method 3 over rksuite/rksuite.f)."""
+
+    C = _F78_C
+    A = _F78_A
+    BHI = _F78_B8   # propagate the 8th-order solution (local extrap.)
+    BLO = _F78_B7
+    ERR_ORDER = 8.0
+
+
+@modules.register("prg_integrator", "IMPAdaptive")
+class IMPAdaptive(IMP):
+    """Implicit midpoint with RICHARDSON step control
+    (omu/Omu_IntIMP.C:379-385): each accepted step compares one h-step
+    against two h/2-steps; the extrapolated value (order 3) is
+    propagated and the error estimate ||x_2h/2 - x_h|| / 3 drives the
+    step size, as a ``lax.while_loop``."""
+
+    def __init__(self, max_steps: int = 1000, **kw):
+        super().__init__(**kw)
+        self.max_steps = max_steps
+
+    def solve(self, F, kk, t0, t1, x, u):
+        rtol, atol = self.rtol, self.atol
+        span = t1 - t0
+
+        def one(t, xs, h):
+            return self._imp_step(F, kk, t, xs, u, h)
+
+        def cond(st):
+            t, xs, h, n = st
+            return (t < t1 - 1e-12 * jnp.abs(span)) & (n < self.max_steps)
+
+        def body(st):
+            t, xs, h, n = st
+            h = jnp.minimum(h, t1 - t)
+            x1 = one(t, xs, h)
+            xh = one(t, xs, 0.5 * h)
+            x2 = one(t + 0.5 * h, xh, 0.5 * h)
+            # midpoint rule is order 2: Richardson error and extrapolant
+            diff = (x2 - x1) / 3.0
+            err = jnp.sqrt(jnp.mean(
+                (diff / (atol + rtol * jnp.maximum(
+                    jnp.abs(xs), jnp.abs(x2)))) ** 2) + 1e-300)
+            accept = err <= 1.0
+            fac = jnp.clip(0.9 * err ** (-1.0 / 3.0), 0.2, 5.0)
+            return (jnp.where(accept, t + h, t),
+                    jnp.where(accept, x2 + diff, xs), h * fac, n + 1)
+
+        h0 = jnp.where(self.stepsize > 0.0, self.stepsize, span / 4.0)
+        _, xs, _, _ = jax.lax.while_loop(cond, body, (t0, x, h0, 0))
+        return xs
+
+    def _imp_step(self, F, kk, t, xs, u, h):
+        tm = t + 0.5 * h
+
+        def res(k):
+            return k - self._xdot(F, kk, tm, xs + 0.5 * h * k, u)
+
+        def newton(f, k0):
+            def it(i, k):
+                J = jax.jacfwd(f)(k)
+                return k - sl.solve_nopiv(J, f(k))
+            return jax.lax.fori_loop(0, self.newton_iters, it, k0)
+
+        def tangent_solve(g, y):
+            return sl.solve_nopiv(jax.jacfwd(g)(y), y)
+
+        k0 = self._xdot(F, kk, t, xs, u)
+        k = jax.lax.custom_root(res, k0, newton, tangent_solve)
+        return xs + h * k
+
+
+@modules.register("prg_integrator", "BDFAdaptive")
+class BDFAdaptive(BDF):
+    """Variable-step BDF2 with predictor-corrector error control -- the
+    adaptive-multistep role of DASPK (omu/Omu_IntDASPK.C; DASPK 3.0 is
+    an adaptive-order/step BDF code).  Variable-step BDF2 coefficients
+    over steps (h, h_prev), linear-extrapolation predictor, local error
+    ~ ||corrector - predictor|| / 3; runs as one ``lax.while_loop``.
+    (Order 2: size max_steps for the tolerance -- h ~ rtol^(1/3).)"""
+
+    def __init__(self, max_steps: int = 20000, **kw):
+        super().__init__(**kw)
+        self.max_steps = max_steps
+
+    def solve(self, F, kk, t0, t1, x, u):
+        rtol, atol = self.rtol, self.atol
+        span = t1 - t0
+        self._u = u
+        # BDF1 (implicit Euler) starter: its O(h^2) local error enters
+        # the global error unreduced, so scale the start step with the
+        # tolerance (h_s ~ sqrt(rtol) * span) -- the step controller
+        # then grows h geometrically.
+        hs = jnp.asarray(span) * jnp.sqrt(jnp.maximum(rtol, 1e-14))
+        if self.stepsize > 0.0:
+            hs = jnp.minimum(hs, self.stepsize)
+        x1 = self._implicit_step(F, kk, t0 + hs, x, 1.0 / hs, x / hs)
+
+        def cond(st):
+            t, xm1, xn, h, hp, n = st
+            return (t < t1 - 1e-12 * jnp.abs(span)) & (n < self.max_steps)
+
+        def body(st):
+            t, xm1, xn, h, hp, n = st
+            h = jnp.minimum(h, t1 - t)
+            # variable-step BDF2: x'(t_{n+1}) = a0 x_{n+1} - hist
+            a0 = 1.0 / h + 1.0 / (h + hp)
+            hist = (h + hp) / (h * hp) * xn \
+                - h / (hp * (h + hp)) * xm1
+            xp = xn + (xn - xm1) * (h / hp)          # predictor
+            xc = self._implicit_step(F, kk, t + h, xp, a0, hist)
+            diff = (xc - xp) / 3.0
+            err = jnp.sqrt(jnp.mean(
+                (diff / (atol + rtol * jnp.maximum(
+                    jnp.abs(xn), jnp.abs(xc)))) ** 2) + 1e-300)
+            accept = err <= 1.0
+            fac = jnp.clip(0.9 * err ** (-1.0 / 3.0), 0.2, 2.5)
+            return (jnp.where(accept, t + h, t),
+                    jnp.where(accept, xn, xm1),
+                    jnp.where(accept, xc, xn),
+                    h * fac,
+                    jnp.where(accept, h, hp), n + 1)
+
+        _, _, xK, _, _, _ = jax.lax.while_loop(
+            cond, body, (t0 + hs, x, x1, hs, hs, 0))
+        return xK

@@ -51,7 +51,9 @@ def factor(S, U):
         return Wk, (Lk, Wk)
 
     U_pad = jnp.concatenate([U, jnp.zeros((1, n, n), S.dtype)], axis=0)
-    _, (L, W) = jax.lax.scan(body, jnp.zeros((n, n), S.dtype), (S, U_pad))
+    # init carry derived from S so its varying-manual-axes (vma) type under
+    # shard_map matches the scan output (a fresh jnp.zeros is 'unvarying')
+    _, (L, W) = jax.lax.scan(body, S[0] * 0.0, (S, U_pad))
     return L, W[:-1]
 
 

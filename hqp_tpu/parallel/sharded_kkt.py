@@ -68,6 +68,21 @@ class ShardedPartitionedKKT(PartitionedKKT):
                 f"multiple of {nd} devices; pad the horizon")
         return best[1]
 
+    # -- collectives -----------------------------------------------------------
+
+    def _gather_replicated(self, local):
+        """Gather per-partition blocks from every device into the full
+        [P, ...] array, REPLICATED on each device: scatter the local shard
+        into its slot of a zero array and ``psum`` over the mesh axis.
+        Equivalent in cost to an all_gather, but the result's replication
+        is statically visible to shard_map's varying-axes checker (psum
+        output is unvarying; all_gather output is not)."""
+        Pl = local.shape[0]
+        i0 = jax.lax.axis_index(self.axis) * Pl
+        full = jnp.zeros((Pl * self.ndev,) + local.shape[1:], local.dtype)
+        full = jax.lax.dynamic_update_slice_in_dim(full, local, i0, 0)
+        return jax.lax.psum(full, self.axis)
+
     # -- sharded factor --------------------------------------------------------
 
     def _local_factor(self, dims, Hs, As, mi, me, Hb, HK):
@@ -79,7 +94,7 @@ class ShardedPartitionedKKT(PartitionedKKT):
                                           self._dual_reg())
         Minv, Dd, W = self._interior_factor(MII, MIB, nx)
         Schur_l = -jnp.einsum("psb,psc->pbc", MIB, W)   # [Pl, 2nx, 2nx]
-        Schur = jax.lax.all_gather(Schur_l, self.axis, tiled=True)
+        Schur = self._gather_replicated(Schur_l)        # [P, 2nx, 2nx]
         LuuK, KgainK, PKxx = self._terminal(HK, nx)
         master, dM = self._master_build(Schur, Hb, PKxx, nx)
         return Minv, Dd, MII, W, MIB, master, dM, LuuK, KgainK
@@ -112,7 +127,7 @@ class ShardedPartitionedKKT(PartitionedKKT):
         rhoI = self._rhs_partitions(gsp, r2p, dims)
         t = _interior_apply((Minv, Dd, MII), rhoI)
         corr_l = jnp.einsum("psb,ps->pb", MIB, t)        # [Pl, 2nx]
-        corr = jax.lax.all_gather(corr_l, self.axis, tiled=True)
+        corr = self._gather_replicated(corr_l)           # [P, 2nx]
         rhoB = rhoB0.at[:-1].add(-corr[:, :nx])
         rhoB = rhoB.at[1:].add(-corr[:, nx:])
         xB = _master_solve(master, dM, -rhoB, nx)        # replicated [P+1, nx]

@@ -247,7 +247,15 @@ class Mehrotra:
         iters = jnp.arange(self.max_iters + 1)
         seen = iters <= state.iter
         pm = jnp.min(jnp.where(seen, phimin, jnp.inf))
-        optimal = (mu <= eps) & (norm_r <= eps * norm_data)
+        # never declare optimality at entry (iter 0) before any step: a
+        # cold start enters with zeroed (x, y) and a hot start with the
+        # PREVIOUS solution -- declaring optimal there returns a stale or
+        # zero direction and zero multipliers.  Bites when no inequality
+        # is finite (mu == 0 identically, e.g. pure equality-constrained
+        # stage QPs) while the relative norm_r test passes against a
+        # large-||Q|| BFGS Hessian.
+        optimal = (mu <= eps) & (norm_r <= eps * norm_data) \
+            & (state.iter > 0)
         subopt = (phi > eps) & (phi >= 1.0e4 * pm)
         seen30 = (iters >= 1) & (iters <= state.iter - 30)
         pm30 = jnp.min(jnp.where(seen30, phimin, jnp.inf))

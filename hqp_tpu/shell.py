@@ -195,6 +195,24 @@ class Shell:
         self._need_solver().hela_restart()
         return "ok"
 
+    def cmd_prg_test(self):
+        """Finite-difference derivative check at the current iterate
+        (Hqp_SqpProgram::test, hqp/Hqp_SqpProgram.C:116)."""
+        from hqp_tpu.utils.diagnostics import prg_test
+        s = self._need_solver()
+        info = prg_test(self.prg, v=s.x)
+        return f"ok max_rel_err {info['max_rel_err']:.3e}"
+
+    def cmd_prg_qp_dump(self, path="qp_dump.npz"):
+        """Dump the current QP linearization for offline analysis
+        (Hqp_SqpProgram::qp_dump, hqp/Hqp_SqpProgram.C:188)."""
+        from hqp_tpu.utils.diagnostics import qp_dump
+        s = self._need_solver()
+        if s.qp is None:
+            s.qp_update()
+        qp_dump(s.qp, path)
+        return path
+
     def cmd_prg_f(self):
         return float(self.solver.f)
 

@@ -165,7 +165,13 @@ class SqpSolver:
                 self._kkt_backend = kkt.DenseKKT()
         self.qp_solver.backend = self._kkt_backend
         self.ip_state = self.qp_solver.init_state(qp)
-        self.y = mk.fill(qp.eq_offsets(), 0.0)
+        if getattr(self.hela, "init_multipliers", False):
+            # least-squares multiplier initialization before the first
+            # Hessian scale estimate (Hqp_HL::est_y, hqp/Hqp_HL.C)
+            from hqp_tpu.utils.diagnostics import est_y
+            self.y = est_y(qp)
+        else:
+            self.y = mk.fill(qp.eq_offsets(), 0.0)
         self.z = mk.fill(mk.tmap(lambda m: m.astype(jnp.float64),
                                  qp.ineq_mask()), 0.0)
         self.iter = 0

@@ -7,6 +7,8 @@ import hqp_tpu
 from hqp_tpu.models.omu_suite import PrgBatchReactor, PrgBio
 from hqp_tpu.sqp.powell import SqpPowell
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 
 def test_batch_reactor():
     """odc BatchReactor: known optimum f* ~ -0.57354 (kinf=0.5, K=40)."""

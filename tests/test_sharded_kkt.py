@@ -13,6 +13,8 @@ from hqp_tpu.parallel.sharded_kkt import ShardedPartitionedKKT
 from hqp_tpu.parallel.scenarios import make_mesh
 from tests.test_kkt import random_stage_qp, random_zw, random_rhs
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pytest.ini)
+
 
 def _solve_with(be, qp, seed=2):
     z, w, mask = random_zw(qp, seed=1)
