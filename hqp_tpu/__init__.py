@@ -36,6 +36,45 @@ import jax as _jax
 if _os.environ.get("HQP_TPU_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# TPU matmul precision: XLA's default lowers f32 dots to bfloat16 MXU
+# passes (measured rel. error 2.5e-3 per product on v5e).  This framework
+# uses f32 matmuls as the *factorization* precision inside mixed-precision
+# refinement loops, where a 4e-3 application noise multiplied by interior
+# condition numbers ~1e4 makes the refinement iteration DIVERGE (measured:
+# the late-barrier interior solve error grew to 1e6 and broke IP
+# convergence on the 60-stage DID).  'highest' makes f32 dots true f32
+# (3-pass); f64 einsums are unaffected.  Opt out with
+# HQP_TPU_MATMUL_PRECISION=default.
+if _os.environ.get("HQP_TPU_MATMUL_PRECISION", "highest") == "highest":
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compilation cache: on the tunneled TPU backend every
+# compile (including tiny eager ops) costs 0.3-7 s of round-trip latency,
+# which dominates host-driven solver wall time far more than the compute
+# itself.  Caching compiled executables on disk makes every process after
+# the first start warm (measured: 1.8 s -> 0.5 s for a small jit; minutes
+# -> seconds for the SQP pipeline).  Opt out with HQP_TPU_COMP_CACHE=0.
+if _os.environ.get("HQP_TPU_COMP_CACHE", "1") != "0":
+    # Separate cache trees per platform: the tunneled TPU backend compiles
+    # CPU executables on a REMOTE host whose machine features differ from
+    # this one (loading them locally risks SIGILL), so a TPU-session cache
+    # must never be read by a local-CPU session.  JAX_PLATFORMS=cpu is how
+    # the test suite / CPU tools select the local backend.
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or \
+        "default"
+    _cache_dir = _os.environ.get(
+        "HQP_TPU_COMP_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache", _plat))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.1)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 __version__ = "0.1.0"
 
 from hqp_tpu.utils.registry import modules  # noqa: E402

@@ -82,13 +82,17 @@ class Docp:
         K, K1, nx, nu, nv, mc = (self.K, self.K + 1, self.nx, self.nu,
                                  self.nv, self.mc)
         v = self.setup_vars()
-        inf = jnp.inf
+        inf = np.inf
 
+        # All of setup runs in HOST numpy: on the tunneled TPU backend each
+        # eager device op pays an XLA compile + round trip (measured ~0.3-5 s
+        # per distinct op), which turned this pure bookkeeping step into
+        # minutes.  Only the final arrays are placed on device.
         def get(key, shape, default):
             a = v.get(key)
             if a is None:
-                return jnp.full(shape, default, jnp.float64)
-            return jnp.asarray(a, jnp.float64).reshape(shape)
+                return np.full(shape, default, np.float64)
+            return np.asarray(a, np.float64).reshape(shape)
 
         x_init = get("x_init", (K1, nx), 0.0)
         u_init = get("u_init", (K, nu), 0.0)
@@ -116,19 +120,15 @@ class Docp:
         # equality rows E_k v_k + e_k = 0, linearized each make_qp -- the
         # role of GE_QP stage-constraint elimination
         # (hqp/Hqp_IpLQDOCP.C:1377; meschach/addon_hqp.h:207-209).
-        fixed_c = np.isfinite(np.asarray(c_min)) & (
-            np.asarray(c_min) == np.asarray(c_max))
+        fixed_c = np.isfinite(c_min) & (c_min == c_max)
         self._has_eqg = bool(fixed_c.any())
         self._eqg_mask = jnp.asarray(fixed_c)
-        self._c_eq_target = jnp.where(
-            self._eqg_mask, jnp.asarray(c_min, jnp.float64), 0.0)
-        c_min = jnp.where(self._eqg_mask, -inf, c_min)
-        c_max = jnp.where(self._eqg_mask, inf, c_max)
+        self._c_eq_target = jnp.asarray(np.where(fixed_c, c_min, 0.0))
+        c_min = np.where(fixed_c, -inf, c_min)
+        c_max = np.where(fixed_c, inf, c_max)
 
-        fx = np.isfinite(np.asarray(x_min)) & (np.asarray(x_min)
-                                               == np.asarray(x_max))
-        fu = np.isfinite(np.asarray(u_min)) & (np.asarray(u_min)
-                                               == np.asarray(u_max))
+        fx = np.isfinite(x_min) & (x_min == x_max)
+        fu = np.isfinite(u_min) & (u_min == u_max)
         fx_pin = np.zeros_like(fx)
         fx_pin[0] = fx[0]            # structural pins: stage-0 states only
 
@@ -165,7 +165,7 @@ class Docp:
                      np.where(np.isfinite(ub), ub, inf))
         x0 = np.where(pin_mask, pin_vals, x0)
 
-        con_mask = jnp.isfinite(c_min) | jnp.isfinite(c_max)
+        con_mask = np.isfinite(c_min) | np.isfinite(c_max)
 
         # Constraint arrays are padded to at least one (masked-off) row:
         # zero-size buffers are a liability on both XLA backends (the CPU
@@ -173,14 +173,15 @@ class Docp:
         # while_loop+shard_map bodies; TPU cannot tile them) and a
         # con_mask=False row is a no-op through the mask machinery.
         if mc == 0:
-            c_min = jnp.full((K1, 1), -inf)
-            c_max = jnp.full((K1, 1), inf)
-            con_mask = jnp.zeros((K1, 1), bool)
+            c_min = np.full((K1, 1), -inf)
+            c_max = np.full((K1, 1), inf)
+            con_mask = np.zeros((K1, 1), bool)
 
         self._pin_mask = jnp.asarray(pin_mask)
         self._pin_vals = jnp.asarray(pin_vals)
-        self._bounds = (jnp.asarray(lb), jnp.asarray(ub), c_min, c_max,
-                        jnp.asarray(var_mask), con_mask)
+        self._bounds = (jnp.asarray(lb), jnp.asarray(ub),
+                        jnp.asarray(c_min), jnp.asarray(c_max),
+                        jnp.asarray(var_mask), jnp.asarray(con_mask))
         return jnp.asarray(x0)
 
     # vectorized stage evaluations ------------------------------------------

@@ -50,6 +50,9 @@ class ShardedPartitionedKKT(PartitionedKKT):
         self.axis = axis
         self.ndev = mesh.shape[axis]
 
+    def _config(self):
+        return super()._config() + (self.mesh, self.axis)
+
     # -- layout: P must divide evenly over the devices ------------------------
 
     def _choose_L(self, K, nx, nu):
@@ -92,7 +95,7 @@ class ShardedPartitionedKKT(PartitionedKKT):
         nx = dims[2]
         MII, MIB = self._partition_blocks(Hs, As, mi, me, dims,
                                           self._dual_reg())
-        Minv, Dd, W = self._interior_factor(MII, MIB, nx)
+        Minv, Dd, MII, W = self._interior_factor(MII, MIB, nx)
         Schur_l = -jnp.einsum("psb,psc->pbc", MIB, W)   # [Pl, 2nx, 2nx]
         Schur = self._gather_replicated(Schur_l)        # [P, 2nx, 2nx]
         LuuK, KgainK, PKxx = self._terminal(HK, nx)

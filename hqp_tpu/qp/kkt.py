@@ -54,16 +54,51 @@ from hqp_tpu.qp.program import StageQP, DenseQP, IneqGroups
 # shared reduction helpers (group-generic over the qp's inequality pytree)
 # ---------------------------------------------------------------------------
 
+#: Active-set barrier cap: sigma = z/w is clipped at SIGMA_CAP wherever a
+#: constraint goes hard-active (w -> 0 at moderate mu, so sigma reaches
+#: 1e16+ on degenerate QPs -- e.g. DID's near-duplicate bound/path rows).
+#: Beyond ~1/eps_f64 NO factorization can cancel sigma*dx terms in the
+#: stationarity rows, and the computed directions explode (measured:
+#: dz ~ 2e14, one step destroyed a converged iterate).  Capping is the
+#: TPU-native (static-shape) realization of the reference's active-set
+#: split `_wz_tol` (hqp/Hqp_IpLQDOCP.C:814-819): capped rows behave as
+#: equalities enforced by a 1e12 penalty.  The cap is applied CONSISTENTLY
+#: (Hessian fold-in, rhs reduction, dz/dw recovery, and the refinement's
+#: residual target via ``z_eff``), so iterative refinement converges to
+#: the capped system's exact solution; the IP iterate's own convergence
+#: measures (phi, mu) keep using the true z and stay honest.
+SIGMA_CAP = 1e12
+
+
 def barrier_ratios(z, w, mask):
-    """sigma = z/w per inequality group, zero where masked."""
-    return mk.tmap(lambda zi, wi, m: jnp.where(m, zi / wi, 0.0), z, w, mask)
+    """sigma = min(z/w, SIGMA_CAP) per inequality group, zero if masked."""
+    return mk.tmap(
+        lambda zi, wi, m: jnp.where(m, jnp.minimum(zi / wi, SIGMA_CAP), 0.0),
+        z, w, mask)
+
+
+def _w_inv_eff(zi, wi):
+    """Effective 1/w for the r4 terms: min(1/w, SIGMA_CAP/z).
+
+    For a hard-active row (sigma capped) this realizes the reference's
+    exact active-set right-hand side: the row is driven to the equality
+    C dx = r3 + r4/z (hqp/Hqp_IpLQDOCP.C:925-932 appends exactly this rhs
+    to the stage equalities), scaled by the penalty SIGMA_CAP.  The
+    resulting recovered dz stays O(rhs) instead of O(sigma * dx_error),
+    and the TRUE-z complementarity residual of the solve is O(z / CAP) --
+    so capped rows no longer re-inject complementarity error into the IP
+    iterate (measured: mu oscillated 1e-7 <-> 1e-5 without this)."""
+    return jnp.minimum(1.0 / wi, SIGMA_CAP / jnp.maximum(zi, 1e-300))
 
 
 def reduce_r1(qp, z, w, mask, r1, r3, r4):
-    """r1_eff = r1 - C'(W^-1 Z r3 + W^-1 r4), zeroed on absent variables
-    (their rows are identity rows pinning the step to zero)."""
+    """r1_eff = r1 - C'(sigma_eff r3 + w_inv_eff r4), zeroed on absent
+    variables (their rows are identity rows pinning the step to zero)."""
     t = mk.tmap(
-        lambda zi, wi, r3i, r4i, m: jnp.where(m, (zi * r3i + r4i) / wi, 0.0),
+        lambda zi, wi, r3i, r4i, m: jnp.where(
+            m,
+            jnp.minimum(zi / wi, SIGMA_CAP) * r3i + _w_inv_eff(zi, wi) * r4i,
+            0.0),
         z, w, r3, r4, mask,
     )
     return jnp.where(qp.x_mask(), r1 - qp.matvec_ineqT(t), 0.0)
@@ -216,11 +251,18 @@ def stage_base_solve(solve_reduced_fn, qp, z, w, mask, r1, r2, r3, r4):
 
 
 def recover_zw(qp, z, w, mask, dx, r3, r4):
-    """dz = W^-1 Z (r3 - C dx) + W^-1 r4,  dw = C dx - r3."""
+    """dz = sigma_eff (r3 - C dx) + w_inv_eff r4,  dw = C dx - r3.
+
+    Uncapped rows: the exact reduction formulas (e4 solved exactly).
+    Capped (hard-active) rows: the active-set recovery -- dz bounded,
+    true-z e4 residual O(z/SIGMA_CAP) (see _w_inv_eff)."""
     Cdx = qp.matvec_ineq(dx)
     dz = mk.tmap(
         lambda zi, wi, r3i, r4i, ci, m: jnp.where(
-            m, (zi * (r3i - ci) + r4i) / wi, 0.0
+            m,
+            jnp.minimum(zi / wi, SIGMA_CAP) * (r3i - ci)
+            + _w_inv_eff(zi, wi) * r4i,
+            0.0,
         ),
         z, w, r3, r4, Cdx, mask,
     )
@@ -291,6 +333,18 @@ class RiccatiKKT:
         self.reg = reg
         self.refine_eps = refine_eps
         self.refine_rounds = refine_rounds
+
+    # value-based identity for the jit trace cache (immutable config; see
+    # PartitionedKKT._config for rationale)
+    def _config(self):
+        return (type(self), self.reg, self.refine_eps, self.refine_rounds)
+
+    def __hash__(self):
+        return hash(self._config())
+
+    def __eq__(self, other):
+        return isinstance(other, RiccatiKKT) and \
+            self._config() == other._config()
 
     def validate(self, qp):
         """Structural check (host-side, concrete qp only): the sequential
@@ -457,6 +511,16 @@ class DenseKKT:
         self.refine_eps = refine_eps
         self.refine_rounds = refine_rounds
 
+    def _config(self):
+        return (type(self), self.refine_eps, self.refine_rounds)
+
+    def __hash__(self):
+        return hash(self._config())
+
+    def __eq__(self, other):
+        return isinstance(other, DenseKKT) and \
+            self._config() == other._config()
+
     def factor(self, qp: DenseQP, z, w, mask):
         sig = barrier_ratios(z, w, mask)
         H = qp.Q + (qp.C.T * sig.g) @ qp.C
@@ -483,6 +547,12 @@ modules.register("qp_mat_solver", "RedSpBKP")(DenseKKT)
 
 class FullStageKKT:
     """Verification backend: lowers a StageQP to one dense saddle system."""
+
+    def __hash__(self):
+        return hash(type(self))
+
+    def __eq__(self, other):
+        return type(other) is type(self)
 
     @staticmethod
     def dense_blocks(qp: StageQP, Hb):

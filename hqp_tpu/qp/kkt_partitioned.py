@@ -48,7 +48,8 @@ BIG = K_.FIX_BIG
 class PartFactors:
     Minv: jnp.ndarray     # [P, s, s] inverse of the SCALED interior (f32)
     Dscale: jnp.ndarray   # [P, s] Ruiz scaling: MII^-1 ~= D Minv D
-    MII: jnp.ndarray      # [P, s, s] f64 interior blocks (inner refinement)
+    MII: jnp.ndarray      # [P, s, s] f64 SCALED interior (inner refinement
+                          # runs in the scaled space, see _interior_apply)
     W: jnp.ndarray        # [P, s, 2nx]  M_II^-1 M_IB (inner-refined)
     MIB: jnp.ndarray      # [P, s, 2nx]
     master: object        # cyclic-reduction factors of the boundary system
@@ -62,26 +63,59 @@ def _interior_dim(L, nx, nu):
     return nu + (L - 1) * nv + L * nx
 
 
-INNER_ROUNDS = 2
+def _default_inner_rounds():
+    """Inner-refinement rounds for interior applications.  The relative
+    error of one scaled-f32-inverse application is q ~= cond * eps_f32;
+    with dual_reg bounding cond at ~1/delta ~ 3e6, q ~= 0.2, and each
+    inner round multiplies the error by q.  Five rounds put the interior
+    solve at ~q^6 ~ 1e-4 relative, which the f64 outer refinement then
+    contracts below 1e-10 -- measured necessary for late-barrier IP
+    iterations (z/w spread 1e8+), where 2 rounds left a 1e-4 KKT residual
+    that broke IP complementarity on TPU.  On f64 factor backends (CPU)
+    the inverse is already exact; one safety round suffices."""
+    return 5 if K_.lu_dtype() == jnp.float32 else 1
+
+
+INNER_ROUNDS = None  # optional global override (tests/experiments)
+
+
+def _inner_rounds():
+    return INNER_ROUNDS if INNER_ROUNDS is not None \
+        else _default_inner_rounds()
 
 
 def _interior_apply(fac0, rho):
-    """MII^-1 rho to ~f64 accuracy: scaled f32 inverse + f64
-    inner-refinement rounds.  rho: [P, s] or [P, s, m]."""
-    Minv, Dd, MII = fac0
+    """MII^-1 rho to f64 accuracy: scaled factor inverse + inner
+    refinement carried ENTIRELY in the Ruiz-scaled space.
+    rho: [P, s] or [P, s, m].
+
+    The scaled space is essential, not cosmetic: the raw interior mixes
+    barrier/penalty rows of 1e10 with dual-regularization rows of 1e-7
+    (cond_raw ~ 1e16 at late barrier), so a raw-space residual
+    rho - MII t carries O(eps64 * 1e10 * |t|) rounding -- O(1) absolute
+    garbage that refinement then amplifies through MII^-1 (measured: KKT
+    solve residual 6e5 at IP iteration 13 of the 60-stage DID).  After
+    symmetric Ruiz equilibration the same system has cond ~ 1e4; the
+    refinement loop below touches only scaled quantities (MII_s, unit-norm
+    rows), and the diagonal back-scaling at entry/exit is exact.  This is
+    the structured-backward-stability argument for IP KKT systems (M.
+    Wright): errors land in components that the barrier makes irrelevant."""
+    Minv, Dd, MII_s = fac0
     vec = rho.ndim == 2
     if vec:
         rho = rho[..., None]
     Ddc = Dd[:, :, None]
+    rho_s = Ddc * rho                       # scaled rhs
 
-    def apply32(r):
-        r_s = (Ddc * r).astype(Minv.dtype)
-        return Ddc * jnp.einsum("pij,pjm->pim", Minv, r_s).astype(rho.dtype)
+    def apply_inv(r_s):
+        return jnp.einsum("pij,pjm->pim", Minv,
+                          r_s.astype(Minv.dtype)).astype(rho.dtype)
 
-    t = apply32(rho)
-    for _ in range(INNER_ROUNDS):
-        resid = rho - jnp.einsum("pij,pjm->pim", MII, t)
-        t = t + apply32(resid)
+    t = apply_inv(rho_s)                    # scaled iterate
+    for _ in range(_inner_rounds()):
+        resid = rho_s - jnp.einsum("pij,pjm->pim", MII_s, t)
+        t = t + apply_inv(resid)
+    t = Ddc * t                             # back to raw space
     return t[..., 0] if vec else t
 
 
@@ -106,7 +140,7 @@ def _master_solve(master, dM, rhs, nx):
         Sm, Um = master
         r = dM * rhs
         x = thomas_pallas.thomas_solve(Sm, Um, r)
-        for _ in range(INNER_ROUNDS):
+        for _ in range(_inner_rounds()):
             x = x + thomas_pallas.thomas_solve(
                 Sm, Um, r - _master_matvec(Sm, Um, x))
         return dM * x
@@ -142,10 +176,33 @@ class PartitionedKKT:
         # and 5e-5 factor residual.  None = resolve by factor dtype.
         self.dual_reg = dual_reg
 
+    # Value-based identity: jitted solver entry points take the backend as
+    # a static argument (via the Mehrotra instance); hashing by config lets
+    # a fresh-but-identical backend hit the in-memory trace cache instead
+    # of re-tracing and re-loading executables (measured 1.4 s/executable
+    # persistent-cache deserialization per new instance).  All fields are
+    # set at construction and never mutated.
+    def _config(self):
+        return (type(self), self.L, self.refine_eps, self.refine_rounds,
+                self.dual_reg)
+
+    def __hash__(self):
+        return hash(self._config())
+
+    def __eq__(self, other):
+        return isinstance(other, PartitionedKKT) and \
+            self._config() == other._config()
+
     def _dual_reg(self):
         if self.dual_reg is not None:
             return self.dual_reg
-        return 1e-6 if K_.lu_dtype() == jnp.float32 else 1e-8
+        # f32 factor path: delta trades interior conditioning (cond ~
+        # 1/delta, which the f32 inverse + inner refinement must beat:
+        # q = cond * eps_f32 < 1) against the outer refinement's
+        # contraction rate (~delta * ||M^-1||).  3e-7 keeps q ~ 0.2
+        # (inner-convergent) while roughly halving the outer rounds
+        # needed vs 1e-6 (measured on the 1000-stage DID KKT).
+        return 3e-7 if K_.lu_dtype() == jnp.float32 else 1e-8
 
     def _choose_L(self, K, nx, nu):
         """A divisor of K close to the requested L, at least ceil(nx/nu)+1
@@ -285,9 +342,9 @@ class PartitionedKKT:
             Minv, _, _ = gj_pallas.interior_factor(MII_s, MIB_s)
         else:
             Minv = jnp.linalg.inv(MII_s.astype(K_.lu_dtype()))
-        fac0 = (Minv, Dd, MII)
+        fac0 = (Minv, Dd, MII_s)
         W = _interior_apply(fac0, MIB)
-        return Minv, Dd, W
+        return Minv, Dd, MII_s, W
 
     @staticmethod
     def _terminal(HK, nx):
@@ -324,13 +381,13 @@ class PartitionedKKT:
 
         MII, MIB = self._partition_blocks(Hs, As, mm_int, mm_e, dims,
                                           self._dual_reg())
-        Minv, Dd, W = self._interior_factor(MII, MIB, nx)
+        Minv, Dd, MII_s, W = self._interior_factor(MII, MIB, nx)
         LuuK, KgainK, PKxx = self._terminal(HK, nx)
         # Schur in f64 from the inner-refined W: the master must be
         # assembled to f64 accuracy or it loses positive definiteness
         Schur = -jnp.einsum("psb,psc->pbc", MIB, W)   # [P, 2nx, 2nx]
         master, dM = self._master_build(Schur, Hb, PKxx, nx)
-        return PartFactors(Minv=Minv, Dscale=Dd, MII=MII, W=W, MIB=MIB,
+        return PartFactors(Minv=Minv, Dscale=Dd, MII=MII_s, W=W, MIB=MIB,
                            master=master, dM=dM, LuuK=LuuK, KgainK=KgainK)
 
     @staticmethod

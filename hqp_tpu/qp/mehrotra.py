@@ -75,8 +75,18 @@ class IPState:
 class Mehrotra:
     """Mehrotra predictor-corrector IP solver over an exchangeable backend."""
 
+    # Defaults deviate from the reference in two measured ways (DID-60
+    # first-SQP QP, the reference's own smoke problem): the Terlaky
+    # modification (reference hardcodes it on, C:360) wanders for ~20
+    # iterations and stalls at phi ~ 1e-4, while Mehrotra's original
+    # cubic centering converges in 23 iterations to phi < 1e-6; and the
+    # Gondzio correctors (a beyond-reference addition) cost 2 extra
+    # backend solves per iteration without reducing the iteration count
+    # once the SIGMA_CAP active-set treatment cures the centering stalls
+    # they were added for.  Both remain selectable.
     def __init__(self, backend=None, eps=1e-9, max_iters=50, max_warm_iters=25,
-                 gammaf=0.01, init_method=0, mod_terlaky=True, jit=True):
+                 gammaf=0.01, init_method=0, mod_terlaky=False,
+                 gondzio_correctors=0, jit=True):
         self.backend = backend
         self.eps = eps
         self.max_iters = max_iters
@@ -84,9 +94,26 @@ class Mehrotra:
         self.gammaf = gammaf
         self.init_method = init_method
         self.mod_terlaky = mod_terlaky
+        self.gondzio_correctors = gondzio_correctors
         #: jit=False runs eagerly -- required for host-callback backends
         #: (SparseHostKKT) whose factorizations live outside XLA
         self.jit = jit
+
+    # Value-based identity so identically-configured solver instances share
+    # jitted traces (the solver is a static argument of its own jitted
+    # entry points; see PartitionedKKT._config).  ``backend`` participates
+    # through its own value-based hash.
+    def _config(self):
+        return (type(self), self.backend, self.eps, self.max_iters,
+                self.max_warm_iters, self.gammaf, self.init_method,
+                self.mod_terlaky, self.gondzio_correctors, self.jit)
+
+    def __hash__(self):
+        return hash(self._config())
+
+    def __eq__(self, other):
+        return isinstance(other, Mehrotra) and \
+            self._config() == other._config()
 
     def _cond(self, pred, tfn, ffn):
         if self.jit:
@@ -295,14 +322,22 @@ class Mehrotra:
                                           r1, r2, r3, r4c)
 
             if self.mod_terlaky:
-                # Terlaky centering (C:584-591)
+                # Terlaky centering (C:584-591).  The sigma formula is
+                # unclamped in the reference; with the SIGMA_CAP active-set
+                # treatment (hqp_tpu.qp.kkt) the affine products dza*dwa on
+                # capped rows can inflate t to 1e5+, driving sigma >> 1 and
+                # DE-centering the iteration (measured: mu oscillated
+                # between 3e-7 and 4e-6 for 25 iterations on the DID QP).
+                # Centering parameters are meaningful only in [0, 1], so
+                # clamp.
                 gamma = 1.0e-4 ** 0.25
                 t = mk.vmax(
                     mk.tmap(lambda a, b, zi, wi:
                             jnp.where(a * b > 0.0, a * b / zi / wi, 0.0),
                             dza, dwa, z, w), mask)
                 t = jnp.maximum(t, 0.0)
-                sigma = gamma * (t + 1.0 - alpha_aff) / (1.0 - gamma)
+                sigma = jnp.minimum(
+                    gamma * (t + 1.0 - alpha_aff) / (1.0 - gamma), 1.0)
 
                 dx, dy, dz, dw = corrector(sigma)
                 alpha_corr = jnp.clip(
@@ -358,12 +393,13 @@ class Mehrotra:
                 return (sel(nx_, dx), sel(ny_, dy), sel(nz_, dz),
                         sel(nw_, dw), jnp.where(take, na, alpha)), None
 
-            if self.jit:
+            ng = self.gondzio_correctors
+            if ng > 0 and self.jit:
                 (dx, dy, dz, dw, alpha), _ = jax.lax.scan(
-                    gondzio_round, (dx, dy, dz, dw, alpha), None, length=2)
-            else:
+                    gondzio_round, (dx, dy, dz, dw, alpha), None, length=ng)
+            elif ng > 0:
                 carry = (dx, dy, dz, dw, alpha)
-                for _ in range(2):
+                for _ in range(ng):
                     carry, _n = gondzio_round(carry, None)
                 dx, dy, dz, dw, alpha = carry
 
