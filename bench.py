@@ -220,14 +220,28 @@ def cfg_did60_sqp():
 
 def cfg_sparse_nlp():
     """Config 3: CUTE-style general sparse NLP via SQP-Powell + host
-    sparse LDL (RCM ordered), n >= 1000."""
-    from hqp_tpu.models.nlp_gen import solve_generated
-
-    t0 = time.perf_counter()
-    info = solve_generated("lqblend", n=2000, eps=1e-6)
-    dt = time.perf_counter() - t0
-    info["solve_ms"] = round(dt * 1e3, 1)
-    return info
+    sparse LDL (RCM ordered), n >= 1000.  Runs in a CPU subprocess: the
+    general sparse path IS host-side (the reference's RedSpBKP role), and
+    driving its host factorization loop through the tunneled TPU backend
+    only adds ~200 s of per-op round trips."""
+    import subprocess
+    code = (
+        "import os, json, time;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from hqp_tpu.models.nlp_gen import solve_generated;"
+        "t0=time.perf_counter();"
+        "info=solve_generated('lqblend', n=2000, eps=1e-6);"
+        "info['solve_ms']=round((time.perf_counter()-t0)*1e3,1);"
+        "print(json.dumps(info))"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=280)
+    for ln in reversed(p.stdout.strip().splitlines()):
+        if ln.strip().startswith("{"):
+            return json.loads(ln)
+    return {"error": (p.stderr or "no output")[-300:]}
 
 
 def cfg_scenarios():
@@ -315,8 +329,8 @@ def main():
         primary["ip_iters_per_s"] = configs["did1000_sqp"]["ip_iters_per_s"]
     run("did60_sqp", cfg_did60_sqp)
     run("nx6_1000_kkt", cfg_nx6_1000)
-    run("sparse_nlp", cfg_sparse_nlp)
     run("scenarios256", cfg_scenarios)
+    run("sparse_nlp", cfg_sparse_nlp)
     run("scaling", cfg_scaling)
 
     print(json.dumps({**primary, "configs": configs}), flush=True)

@@ -73,6 +73,35 @@ def time_backend(be, qp, mask, ones, rhs, reps=REPS):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def control_matmul_eff(devs, nd):
+    """CONTROL EXPERIMENT: strong scaling of an embarrassingly parallel
+    batched matmul (zero communication) on the same virtual mesh.  On
+    this 2-core host it measures ~1.0x at 2 devices (no speedup): XLA:CPU
+    intra-op threading already uses every physical core for the 1-device
+    baseline, so NO sharded program -- whatever its communication design
+    -- can show parallel efficiency here.  This bounds what the KKT
+    scaling numbers below can honestly mean (see PERF.md)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    A = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (64, 256, 256)))
+    f = jax.jit(lambda a: jnp.einsum("bij,bjk->bik", a, a))
+
+    def one(n):
+        mesh = Mesh(np.array(devs[:n]), ("b",))
+        Ab = jax.device_put(A, NamedSharding(mesh, P("b")))
+        out = f(Ab)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = f(Ab)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / 20
+
+    t1, tn = one(1), one(nd)
+    return round(t1 / (tn * nd), 3)
+
+
 def main():
     qp, mask, ones, rhs = build(KMAX)
     devs = jax.devices()
@@ -81,6 +110,9 @@ def main():
            "host_cores": ncores,
            "note": ("virtual CPU mesh; efficiencies beyond the physical "
                     "core count are core-bound, not communication-bound")}
+    if len(devs) >= 2:
+        out["control_zero_comm_matmul_eff_2dev"] = control_matmul_eff(
+            devs, 2)
     out["unsharded_ms"] = round(
         time_backend(PartitionedKKT(L=20), qp, mask, ones, rhs), 3)
     # strong scaling of the sharded backend against ITSELF on a 1-device
@@ -98,6 +130,12 @@ def main():
         if nd > 1:
             out[f"scaling_eff_{nd}dev"] = round(base / (t * nd), 3)
     print(json.dumps(out))
+    # record for bench.py's scaling config (runs out-of-band; see
+    # bench.py cfg_scaling)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_scaling.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh)
 
 
 if __name__ == "__main__":
