@@ -57,6 +57,11 @@ class Docp:
         Missing bounds default to +-inf, missing inits to zero."""
         return {}
 
+    def _setup_vars_processed(self):
+        """Hook between the user's setup_vars and the assembly; the Omu
+        layer widens per-sample-period constraint bounds here."""
+        return self.setup_vars()
+
     def f(self, k, x, u):
         raise NotImplementedError
 
@@ -81,7 +86,7 @@ class Docp:
         """
         K, K1, nx, nu, nv, mc = (self.K, self.K + 1, self.nx, self.nu,
                                  self.nv, self.mc)
-        v = self.setup_vars()
+        v = self._setup_vars_processed()
         inf = np.inf
 
         # All of setup runs in HOST numpy: on the tunneled TPU backend each
@@ -326,6 +331,11 @@ class Docp:
         all_v, fin_v = self._split_fns()
         K = self.K
         zg = z.gl - z.gu
+        # fixed general constraints (c_min == c_max) are equality rows
+        # whose multipliers y["gen"] carry curvature -y_gen * grad^2 c
+        # exactly like the inequality multipliers
+        if self._has_eqg and isinstance(y, dict) and "gen" in y:
+            zg = zg + jnp.where(self._eqg_mask, y["gen"], 0.0)
 
         def lag(k, vk, yk, zk):
             f, f0, c = all_v(k, vk)

@@ -205,10 +205,16 @@ class SimulinkSFunction:
         return J
 
     def terminate(self):
-        self._lib.hxi_mdlTerminate(self.S)
+        if not getattr(self, "_terminated", False):
+            self._lib.hxi_mdlTerminate(self.S)
+            self._terminated = True
 
     def __del__(self):
+        # release model resources (mdlStart/PWork allocations) before
+        # freeing the SimStruct, as the reference's emulation does on
+        # destruction (hxi/Hxi_SimStruct.C)
         try:
+            self.terminate()
             self._lib.hxi_ss_destroy(self.S)
         except Exception:
             pass

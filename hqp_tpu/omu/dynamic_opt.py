@@ -271,10 +271,15 @@ class DynamicOpt(OmuProgram):
                           jnp.sum(self.u_w2 * us * us)
                           + jnp.sum(self.u_w1 * ur))
         if self._du_pen:
-            dt = self.ts[1] - self.ts[0]
             if self.u_order == 1:
                 dr = du
             else:
+                # piecewise-constant controls change once per STAGE, so
+                # the discrete rate uses the stage period sps*dt, not the
+                # sub-sample period (with decimation > 1 the sub-sample
+                # dt overestimated the rate by sps and the quadratic
+                # penalty by sps^2)
+                dt = (self.ts[1] - self.ts[0]) * self.sps
                 dr = (ur - x[self._iu0: self._iu0 + self.num]) / dt
                 # no previous control before stage 0
                 dr = jnp.where(kk == 0, jnp.zeros_like(dr), dr)

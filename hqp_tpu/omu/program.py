@@ -73,7 +73,43 @@ class OmuProgram(Docp):
 
     def setup(self):
         self.setup_stages()
+        # Per-sample-period constraint rows: the user's `mc` counts the
+        # constraints one update() call returns; with sps sample periods
+        # per stage, EACH period contributes its own rows (the reference
+        # keeps separate rows per kk, omu/Hqp_Omuses.C:566-780 --
+        # summing them would let a violation in one period cancel
+        # against slack in another, a feasibility bug).  Stage-level
+        # arrays are therefore sps*mc wide; the terminal pseudo-stage
+        # has one update() call, its rows beyond the first mc block are
+        # masked off via infinite bounds.
+        if not hasattr(self, "_mc_user"):
+            self._mc_user = self.mc
+        self.mc = self._mc_user * (self.sps if self._mc_user else 1)
         return super().setup()
+
+    def _setup_vars_processed(self):
+        import numpy as np
+
+        # user code (setup_vars) sees the per-period constraint count;
+        # the assembly (Docp.setup) sees the widened stage-level count
+        self.mc = self._mc_user
+        try:
+            v = dict(self.setup_vars())
+        finally:
+            self.mc = self._mc_user * (self.sps if self._mc_user else 1)
+        mcu, sps = self._mc_user, self.sps
+        if mcu and sps > 1:
+            for key in ("c_min", "c_max"):
+                a = v.get(key)
+                if a is None:
+                    continue
+                a = np.asarray(a, np.float64).reshape(self.K + 1, mcu)
+                wide = np.tile(a, (1, sps))
+                # terminal stage: only the first per-period block exists
+                fill = -np.inf if key == "c_min" else np.inf
+                wide[-1, mcu:] = fill
+                v[key] = wide
+        return v
 
     def _period(self, kk, t0k, t1k, x, u):
         x0 = self.consistic(kk, t0k, x, u)
@@ -84,8 +120,10 @@ class OmuProgram(Docp):
         return self.update(kk, x0, u, xf)
 
     def stage_all(self, k, x, u):
+        """Chain the stage's sample periods; constraint rows CONCATENATE
+        per period (one block per kk, omu/Hqp_Omuses.C:566-780)."""
         f0sum = jnp.asarray(0.0)
-        csum = jnp.zeros((self.mc,))
+        cs = []
         xcur = x
         for j in range(self.sps):
             kk = k * self.sps + j
@@ -93,13 +131,21 @@ class OmuProgram(Docp):
             t1k = self.ts[kk + 1]
             f, f0, c = self._period(kk, t0k, t1k, xcur, u)
             f0sum = f0sum + f0
-            csum = csum + jnp.atleast_1d(c)
+            cs.append(jnp.atleast_1d(c))
             xcur = f
-        return xcur, f0sum, csum
+        call = (jnp.concatenate(cs) if self._mc_user
+                else jnp.zeros((self.mc,)))
+        return xcur, f0sum, call
 
     def stage_final(self, x, u):
-        """Terminal stage: update() with kk = KK and xf = x, no dynamics."""
+        """Terminal stage: update() with kk = KK and xf = x, no dynamics.
+        Rows beyond the first per-period block are padding (masked by
+        infinite bounds, see _setup_vars_processed)."""
         KK = self.K * self.sps
         x0 = self.consistic(jnp.asarray(KK), self.ts[-1], x, u)
         _, f0, c = self.update(jnp.asarray(KK), x0, u, x0)
-        return f0, jnp.atleast_1d(c)
+        c = jnp.atleast_1d(c)
+        if self._mc_user and self.sps > 1:
+            c = jnp.concatenate(
+                [c, jnp.zeros(((self.sps - 1) * self._mc_user,))])
+        return f0, c
