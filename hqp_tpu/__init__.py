@@ -55,13 +55,31 @@ if _os.environ.get("HQP_TPU_MATMUL_PRECISION", "highest") == "highest":
 # the first start warm (measured: 1.8 s -> 0.5 s for a small jit; minutes
 # -> seconds for the SQP pipeline).  Opt out with HQP_TPU_COMP_CACHE=0.
 if _os.environ.get("HQP_TPU_COMP_CACHE", "1") != "0":
-    # Separate cache trees per platform: the tunneled TPU backend compiles
-    # CPU executables on a REMOTE host whose machine features differ from
-    # this one (loading them locally risks SIGILL), so a TPU-session cache
-    # must never be read by a local-CPU session.  JAX_PLATFORMS=cpu is how
-    # the test suite / CPU tools select the local backend.
+    # Separate cache trees per platform AND per machine: the tunneled TPU
+    # backend compiles CPU executables on a REMOTE host whose machine
+    # features differ from this one (loading them locally risks SIGILL),
+    # so a TPU-session cache must never be read by a local-CPU session,
+    # and a CPU cache written on one machine must never be read on
+    # another (observed: XLA AOT "machine feature mismatch" warnings when
+    # `.jax_cache/cpu` written on the driver host was reused elsewhere).
+    # The machine fingerprint keys the bucket on the host's CPU features,
+    # which also covers processes that select a backend via
+    # jax.config.update instead of JAX_PLATFORMS (those share the
+    # "default" bucket only with same-machine sessions).
     _plat = _os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or \
         "default"
+    try:
+        import hashlib as _hashlib
+        import platform as _platform
+        _feat = _platform.machine()
+        with open("/proc/cpuinfo") as _fh:
+            for _ln in _fh:
+                if _ln.startswith(("flags", "Features")):
+                    _feat += _ln
+                    break
+        _plat += "-" + _hashlib.md5(_feat.encode()).hexdigest()[:8]
+    except Exception:  # pragma: no cover - fingerprint is best-effort
+        pass
     _cache_dir = _os.environ.get(
         "HQP_TPU_COMP_CACHE_DIR",
         _os.path.join(_os.path.dirname(_os.path.dirname(

@@ -86,6 +86,16 @@ class Franke:
         self.beta = beta
         self.mu0 = mu0
 
+    def with_backend(self, backend):
+        """Fresh copy bound to ``backend`` (same contract as
+        Mehrotra.with_backend)."""
+        if backend is self.backend:
+            return self
+        import copy
+        new = copy.copy(self)
+        new.backend = backend
+        return new
+
     def init_state(self, qp):
         base = ipm.Mehrotra(backend=self.backend,
                             max_iters=self.max_iters).init_state(qp)

@@ -63,10 +63,15 @@ from hqp_tpu.qp.program import StageQP, DenseQP, IneqGroups
 #: TPU-native (static-shape) realization of the reference's active-set
 #: split `_wz_tol` (hqp/Hqp_IpLQDOCP.C:814-819): capped rows behave as
 #: equalities enforced by a 1e12 penalty.  The cap is applied CONSISTENTLY
-#: (Hessian fold-in, rhs reduction, dz/dw recovery, and the refinement's
-#: residual target via ``z_eff``), so iterative refinement converges to
-#: the capped system's exact solution; the IP iterate's own convergence
-#: measures (phi, mu) keep using the true z and stay honest.
+#: across the factorization path (Hessian fold-in, rhs reduction, dz/dw
+#: recovery), so repeated base solves agree with each other.  The
+#: refinement loop, however, targets the TRUE-z residual (kkt_residual
+#: uses the uncapped z/w): on capped rows the complementarity residual is
+#: O(z/SIGMA_CAP) and cannot be driven below that by re-solving the
+#: capped system -- the monotone guard (accept a round only while the
+#: residual norm decreases) is what stops the loop there.  The IP
+#: iterate's own convergence measures (phi, mu) also use the true z and
+#: stay honest.
 SIGMA_CAP = 1e12
 
 

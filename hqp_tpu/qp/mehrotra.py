@@ -115,6 +115,21 @@ class Mehrotra:
         return isinstance(other, Mehrotra) and \
             self._config() == other._config()
 
+    def with_backend(self, backend):
+        """A solver with ``backend`` bound -- a fresh copy if it differs.
+
+        The instance's value-based hash covers ``backend``, and jitted
+        entry points take the solver as a static argument, so mutating
+        ``backend`` on an instance that has already been traced would
+        leave stale trace-cache entries behind.  Callers that resolve the
+        backend late (SqpSolver.init) must rebind through this method."""
+        if backend is self.backend:
+            return self
+        import copy
+        new = copy.copy(self)
+        new.backend = backend
+        return new
+
     def _cond(self, pred, tfn, ffn):
         if self.jit:
             return jax.lax.cond(pred, tfn, ffn)

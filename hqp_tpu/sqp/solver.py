@@ -163,7 +163,9 @@ class SqpSolver:
                 self._kkt_backend = PartitionedKKT()
             else:
                 self._kkt_backend = kkt.DenseKKT()
-        self.qp_solver.backend = self._kkt_backend
+        # rebind (not mutate): the IP solver is hash-identified by its
+        # config including the backend; see Mehrotra.with_backend
+        self.qp_solver = self.qp_solver.with_backend(self._kkt_backend)
         self.ip_state = self.qp_solver.init_state(qp)
         if getattr(self.hela, "init_multipliers", False):
             # least-squares multiplier initialization before the first

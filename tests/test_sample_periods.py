@@ -102,27 +102,80 @@ def test_decimation_with_output_bound_not_falsely_infeasible():
     assert float(infeasibility(s.qp)) < 1e-8
 
 
-def test_decimation_per_period_bound_enforced():
-    """A bound that only an interior sample period can violate must be
-    enforced there: double integrator, u constant per stage via
-    decimation=2, path bound on position must hold at the HALF-stage
-    points too (this is exactly why sps > 1 exists,
-    Prg_DynamicOpt.h:227-240)."""
+def _grid_positions(prg, xtraj, nsub):
+    """Reconstruct positions on the fine sample grid by re-integrating
+    each stage's periods with the program's own integrator, sub-divided
+    ``nsub`` times per period (so decimation=1 runs can be evaluated at
+    the HALF-stage points the per-period rows would constrain)."""
+    pts = []
+    for k in range(prg.K):
+        xk = jnp.asarray(np.asarray(xtraj)[k, : prg.nx])
+        u = jnp.asarray(np.asarray(xtraj)[k, prg.nx: prg.nx + prg.nu])
+        for j in range(prg.sps):
+            kk = k * prg.sps + j
+            t0k, t1k = float(prg.ts[kk]), float(prg.ts[kk + 1])
+            x0 = prg.consistic(kk, t0k, xk, u)
+            for i in range(nsub):
+                ta = t0k + (t1k - t0k) * i / nsub
+                tb = t0k + (t1k - t0k) * (i + 1) / nsub
+                pts.append((ta, float(x0[1])))
+                x0 = prg.integrator.solve(prg.continuous, kk, ta, tb,
+                                          x0, u)
+            xk = x0
+    pts.append((float(prg.ts[-1]), float(np.asarray(xtraj)[-1, 1])))
+    return pts
+
+
+def _braking_arc(decimation):
+    """Double integrator entering at v = 1 and forced back to s = 0 at
+    t = 1 under the path bound s <= 0.15: the natural return arc apexes
+    ~0.19 mid-horizon, so with bounds at the K = 4 knots only the arc
+    BULGES over the bound between knots; the decimation=2 half-stage
+    rows are what pin it down."""
     prg = DynamicOpt(
         _DIC(), K=4, x0=[1.0, 0.0],
-        u_min=[-5.0], u_max=[5.0],
-        y_max=[np.inf, 0.55],
-        u_weight2=[1e-4],
-        decimation=2,
+        u_min=[-60.0], u_max=[60.0],
+        y_max=[np.inf, 0.15],
+        yf_ref=[0.0, 0.0], yf_weight2=[0.0, 100.0],
+        u_weight2=[1e-5],
+        decimation=decimation,
     )
-    s = SqpPowell(prg, max_iters=60)
+    s = SqpPowell(prg, max_iters=80)
     s.init()
     r = s.solve()
     assert r == "optimal"
-    # reconstruct the half-period positions by simulating the solution
+    return prg, s
+
+
+def test_decimation_per_period_bound_enforced():
+    """A bound that only an interior sample period can violate must be
+    enforced there (this is exactly why sps > 1 exists,
+    Prg_DynamicOpt.h:227-240): with decimation=2 the reconstructed
+    positions at EVERY half-stage point obey the bound, and the
+    half-stage row at t = 0.375 is BINDING -- if the per-period rows
+    were dropped, the solution would bulge to ~0.16 there (the
+    decimation=1 control below) and this test would fail."""
+    prg, s = _braking_arc(decimation=2)
+    pts = _grid_positions(prg, s.x, nsub=1)   # every period start + end
+    pos = np.array([p for _, p in pts])
+    assert np.all(pos <= 0.15 + 1e-6), pts
+    # the interior half-stage row is ACTIVE (binding at the bound)
+    interior = {round(t, 3): p for t, p in pts}
+    assert interior[0.375] >= 0.15 - 1e-4, pts
+
+
+def test_decimation_control_knots_only_bulges():
+    """Control experiment: the SAME problem with decimation=1 (knot rows
+    only) produces a solution whose half-stage positions VIOLATE the
+    bound -- proof that the per-period rows of the decimation=2 run are
+    load-bearing, not redundant."""
+    prg, s = _braking_arc(decimation=1)
+    pts = _grid_positions(prg, s.x, nsub=2)   # evaluate at half-stages
+    # knot positions obey the bound ...
     x = np.asarray(s.x)
-    # all knot positions obey the bound
-    assert np.all(x[:, 1] <= 0.55 + 1e-6)
+    assert np.all(x[:, 1] <= 0.15 + 1e-6)
+    # ... but the reconstructed half-stage apex bulges clearly above it
+    assert max(p for _, p in pts) >= 0.155, pts
 
 
 class _DIC(Model):
