@@ -70,7 +70,8 @@ class DynamicOpt(OmuProgram):
                  u_order: int = 0,
                  t_scale: bool = False, t_weight1=0.0,
                  t_scale_min=0.1, t_scale_max=10.0,
-                 decimation: int = 1):
+                 decimation: int = 1,
+                 x_periodic=None, u_periodic=None):
         super().__init__(integrator if integrator is not None
                          else RK4(steps=2))
         self.model = model
@@ -129,6 +130,32 @@ class DynamicOpt(OmuProgram):
         self._iT = nxm + (num if self._u_state else 0)
         self.nx = self._iT + (1 if self.t_free else 0)
 
+        # periodic controls/states (mdl_u_periodic / mdl_x_periodic,
+        # Prg_DynamicOpt.h:377,382): the reference encodes periodicity as
+        # a global equality row x_0[i] - x_K[i] = 0 in the sparse QP
+        # (Hqp_Docp.C:497,642).  A 0<->K coupling would break the
+        # block-tridiagonal stage structure the TPU backends exploit, so
+        # it is realized stage-locally instead: each periodic variable
+        # gets a constant MEMORY STATE p (dp/dt = 0) pinned to it by a
+        # stage-0 equality row p = x and a terminal row p = x -- together
+        # x_0 = x_K, with only stage-local rows.
+        xper = np.asarray(arr(x_periodic, nxm, 0.0), bool) \
+            if x_periodic is not None else np.zeros(nxm, bool)
+        uper = np.asarray(arr(u_periodic, num, 0.0), bool) \
+            if u_periodic is not None else np.zeros(num, bool)
+        if uper.any() and not self._u_state:
+            raise ValueError(
+                "u_periodic requires the control to be a state "
+                "(u_order=1 or a du weight), as in the reference "
+                "(Prg_DynamicOpt.C:541 marks the control STATE periodic)")
+        self._x_per = xper
+        self._per_src = np.concatenate([
+            np.where(xper)[0],
+            (self._iu0 or 0) + np.where(uper)[0]]).astype(int)
+        self.npx = len(self._per_src)
+        self._iper = self.nx
+        self.nx += self.npx
+
         # soft constraints: slack variables iff a linear weight is present
         soft_lo = np.isfinite(np.asarray(self.y_soft_min))
         soft_hi = np.isfinite(np.asarray(self.y_soft_max))
@@ -146,7 +173,7 @@ class DynamicOpt(OmuProgram):
         hard_path = np.isfinite(self.y_min) | np.isfinite(self.y_max)
         hard_fin = np.isfinite(self.yf_min) | np.isfinite(self.yf_max)
         self._hard = bool(hard_path.any() or hard_fin.any())
-        self.mc = (ny if self._hard else 0) + ns
+        self.mc = (ny if self._hard else 0) + ns + self.npx
 
         self._p = model.default_p()
 
@@ -161,7 +188,11 @@ class DynamicOpt(OmuProgram):
         x_init = np.zeros((K1, nx))
         x_init[:, :nxm] = self.x0
         if self.x0_fixed:
-            x_min[0, :nxm] = x_max[0, :nxm] = self.x0
+            # periodic states are determined by the periodicity rows, not
+            # by a pinned initial value (reference: the Periodical mark
+            # REPLACES the x0 bound, Prg_DynamicOpt.C:575-577)
+            fix = ~self._x_per
+            x_min[0, :nxm][fix] = x_max[0, :nxm][fix] = self.x0[fix]
         if self.u_order == 1:
             # the control ramp knots are states: bound + initialize them
             x_min[:, self._iu0:self._iu0 + num] = self._u_min
@@ -173,6 +204,9 @@ class DynamicOpt(OmuProgram):
             x_min[:, self._iT] = self.t_min
             x_max[:, self._iT] = self.t_max
             x_init[:, self._iT] = 1.0
+        if self.npx:
+            # memory states start at their source variable's guess
+            x_init[:, self._iper:] = x_init[:, self._per_src]
 
         u_min = np.full((K, nu), -inf)
         u_max = np.full((K, nu), inf)
@@ -205,7 +239,14 @@ class DynamicOpt(OmuProgram):
                 off = ny if self._hard else 0
                 # slack rows (path stages only; stage K has no controls,
                 # its soft terms fall back to the quadratic penalty)
-                c_min[:K, off:] = 0.0
+                c_min[:K, off:off + ns] = 0.0
+            if self.npx:
+                # periodicity rows: equality p = x, active (nonzero) only
+                # at period 0 and the terminal point -- identically zero
+                # elsewhere, so the 0-bounds hold trivially there
+                offp = (ny if self._hard else 0) + ns
+                c_min[:, offp:] = 0.0
+                c_max[:, offp:] = 0.0
             out["c_min"] = c_min
             out["c_max"] = c_max
         return out
@@ -236,6 +277,9 @@ class DynamicOpt(OmuProgram):
             rows.append(rate - dx[self._iu0: self._iu0 + self.num])
         if self.t_free:
             rows.append(-dx[self._iT:  self._iT + 1])
+        if self.npx:
+            # constant memory states of the periodic variables
+            rows.append(-dx[self._iper: self._iper + self.npx])
         return jnp.concatenate(rows)
 
     # -- objective + constraints ---------------------------------------------
@@ -320,5 +364,12 @@ class DynamicOpt(OmuProgram):
                 self.y_soft_max[self._soft_hi_idx]
                 - y[self._soft_hi_idx] + shi])
             cs.append(rows)
+        if self.npx:
+            # periodicity rows p - x: active at period 0 and the terminal
+            # update only (x_0 = p = x_K through the constant p chain)
+            active = (kk == 0) | final
+            per = x[self._iper: self._iper + self.npx] \
+                - x[jnp.asarray(self._per_src)]
+            cs.append(jnp.where(active, per, jnp.zeros_like(per)))
         c = jnp.concatenate(cs) if cs else jnp.zeros((0,))
         return f, f0, c

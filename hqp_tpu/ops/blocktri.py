@@ -16,6 +16,14 @@ import jax.numpy as jnp
 
 from hqp_tpu.ops import smalllin as sl
 
+#: modified-Cholesky pivot floor (relative to the block's diagonal) for
+#: the master factorizations: masters mixing 1e10 equality penalties with
+#: tiny true curvature (cond ~ 1e16) have elimination pivots that go
+#: negative by roundoff alone; clamping factors a nearby SPD system and
+#: the caller's iterative refinement absorbs the difference (the
+#: reference's spMODCHOLfac layering, hqp/Hqp_IpSpSC.C:46-48)
+MOD_CHOL_FLOOR = 1e-14
+
 
 def equilibrate(S, U):
     """Jacobi scaling d = diag(S)^(-1/2) for a block-tridiagonal SPD
@@ -46,7 +54,7 @@ def factor(S, U):
         Wprev = carry          # [n, n], zeros initially
         Sk, Uk = inp
         Stil = Sk - Wprev.T @ Wprev
-        Lk = sl.chol(Stil)
+        Lk = sl.chol(Stil, floor_rel=MOD_CHOL_FLOOR)
         Wk = sl.tri_lower_solve(Lk, Uk)
         return Wk, (Lk, Wk)
 
@@ -96,7 +104,7 @@ def cr_factor(S, U):
         Dodd = D[1::2]
         A = Uc[0::2]
         B = Uc[1::2]
-        Lo = sl.chol(Dodd)
+        Lo = sl.chol(Dodd, floor_rel=MOD_CHOL_FLOOR)
         # R = A Dodd^-1  (= cho_solve(Lo, A')' by symmetry)
         R = jnp.swapaxes(sl.cho_solve(Lo, jnp.swapaxes(A, -1, -2)), -1, -2)
         Sm = sl.cho_solve(Lo, B)

@@ -23,18 +23,36 @@ import jax.numpy as jnp
 _UNROLL_LIMIT = 48
 
 
-def chol(A):
-    """Cholesky factor (lower) of SPD blocks, unrolled over the static n."""
+def chol(A, floor_rel=None):
+    """Cholesky factor (lower) of SPD blocks, unrolled over the static n.
+
+    ``floor_rel``: modified-Cholesky pivot safeguard (the reference's
+    spMODCHOLfac role, hqp/meschext_hl.C, used by Hqp_IpSpSC.C:46-48):
+    each pivot d^2 is clamped below at ``floor_rel * max|diag(A)|``, so
+    blocks that are PSD up to roundoff (e.g. a 1e10 equality penalty
+    against 1e-6 true curvature -- cond ~ 1e16, where elimination pivots
+    go negative by rounding alone) factor to a NEARBY SPD system instead
+    of producing NaN; the caller's iterative refinement against the true
+    system absorbs the perturbation."""
     n = A.shape[-1]
     if n > _UNROLL_LIMIT:
         return jnp.linalg.cholesky(A)
+    if floor_rel is not None:
+        dmax = jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)),
+                       axis=-1)
+        floor = floor_rel * jnp.maximum(dmax, 1e-300)
     cols = []
     for j in range(n):
         v = A[..., j:, j]
         for k in range(j):
             v = v - cols[k][..., j - k:] * cols[k][..., j - k, None]
-        d = jnp.sqrt(v[..., 0])
-        cols.append(v / d[..., None])
+        d2 = v[..., 0]
+        if floor_rel is not None:
+            d2 = jnp.maximum(d2, floor)
+        d = jnp.sqrt(d2)
+        cols.append(
+            jnp.concatenate([d[..., None], v[..., 1:] / d[..., None]],
+                            axis=-1))
     L = jnp.zeros_like(A)
     for j in range(n):
         L = L.at[..., j:, j].set(cols[j])

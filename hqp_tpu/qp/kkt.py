@@ -148,35 +148,43 @@ def refine(solve_fn, qp, z, w, mask, r1, r2, r3, r4, sol,
     computed correctly, then frees crash) -- and on TPU the unrolled form
     also avoids re-launch overhead of a serial loop over collectives."""
     dx, dy, dz, dw = sol
-    *_, res0 = kkt_residual(qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw)
+    e1, e2, e3, e4, res0 = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
+                                        dx, dy, dz, dw)
 
+    # the residual vectors of the CURRENT iterate ride in the loop carry,
+    # so each round costs ONE residual evaluation + one solve (the naive
+    # form re-evaluated the entry residual every round; at ~1 ms per
+    # 4x4-system residual on the 1000-stage QP that was the single
+    # largest refinement cost)
     def body(carry):
-        (dx, dy, dz, dw), res, i, go = carry
-        e1, e2, e3, e4, _ = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
-                                         dx, dy, dz, dw)
+        (dx, dy, dz, dw), (e1, e2, e3, e4), res, i, go = carry
         cx, cy, cz, cw = solve_fn(e1, e2, e3, e4)
         nx_, ny_, nz_, nw_ = (dx + cx, mk.add(dy, cy), mk.add(dz, cz),
                               mk.add(dw, cw))
-        *_, nres = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
-                                nx_, ny_, nz_, nw_)
+        ne1, ne2, ne3, ne4, nres = kkt_residual(qp, z, w, mask,
+                                                r1, r2, r3, r4,
+                                                nx_, ny_, nz_, nw_)
         better = go & (res > eps) & (nres < res)
         keep = lambda new, old: jax.tree_util.tree_map(
             lambda a, b: jnp.where(better, a, b), new, old)
         return ((keep(nx_, dx), keep(ny_, dy), keep(nz_, dz),
                  keep(nw_, dw)),
+                (keep(ne1, e1), keep(ne2, e2), keep(ne3, e3),
+                 keep(ne4, e4)),
                 jnp.where(better, nres, res), i + 1, better)
 
-    carry = ((dx, dy, dz, dw), res0, jnp.asarray(0), jnp.asarray(True))
+    carry = ((dx, dy, dz, dw), (e1, e2, e3, e4), res0,
+             jnp.asarray(0), jnp.asarray(True))
     if unroll:
         for _ in range(max_rounds):
             carry = body(carry)
     else:
         def cond(c):
-            sol, res, i, go = c
+            sol, errs, res, i, go = c
             return go & (i < max_rounds) & (res > eps)
 
         carry = jax.lax.while_loop(cond, body, carry)
-    (dx, dy, dz, dw), res, _, _ = carry
+    (dx, dy, dz, dw), _, res, _, _ = carry
     return dx, dy, dz, dw
 
 
@@ -585,28 +593,60 @@ class FullStageKKT:
             -qp.xcoupling_mask().astype(A.dtype).ravel())
         return H, A
 
+    @staticmethod
+    def _gen_eq_rows(qp: StageQP):
+        """Block-diagonal lowering of the per-stage general equality rows
+        E [K1, meq, nv] into dense rows [K1*meq, n] + their mask."""
+        import numpy as np
+        K1, meq, nv = qp.E.shape
+        n = K1 * nv
+        rb = np.arange(K1)[:, None, None] * meq
+        rr = np.broadcast_to(rb + np.arange(meq)[None, :, None],
+                             (K1, meq, nv))
+        cc = np.broadcast_to(
+            np.arange(K1)[:, None, None] * nv
+            + np.arange(nv)[None, None, :], (K1, meq, nv))
+        G = jnp.zeros((K1 * meq, n)).at[rr.ravel(), cc.ravel()].set(
+            (qp.E * qp.eqg_mask[:, :, None]).ravel())
+        return G, qp.eqg_mask.reshape(-1)
+
     def factor(self, qp: StageQP, z, w, mask):
         Hb = _stage_hessians(qp, z, w, mask)      # [K1, nv, nv]
         H, A = self.dense_blocks(qp, Hb)
         n = H.shape[0]
         # fixed-variable equality rows: identity rows masked by fixed_mask
         fm = qp.fixed_mask().reshape(-1)
-        A_all = jnp.concatenate([A, jnp.eye(n)], axis=0)
-        emask = jnp.concatenate([jnp.ones(A.shape[0], dtype=bool), fm])
+        rows = [A, jnp.eye(n)]
+        masks = [jnp.ones(A.shape[0], dtype=bool), fm]
+        if qp.has_gen_eq():
+            G, gmask = self._gen_eq_rows(qp)
+            rows.append(G)
+            masks.append(gmask)
+        A_all = jnp.concatenate(rows, axis=0)
+        emask = jnp.concatenate(masks)
         return _saddle_factor(H, A_all, emask)
 
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
         g = reduce_r1(qp, z, w, mask, r1, r3, r4)
         n = (qp.K + 1) * qp.nv
         fm = qp.fixed_mask().reshape(-1)
-        r2f = jnp.concatenate([r2["dyn"].reshape(-1),
-                               jnp.where(fm, r2["fix"].reshape(-1), 0.0)])
+        parts = [r2["dyn"].reshape(-1),
+                 jnp.where(fm, r2["fix"].reshape(-1), 0.0)]
+        if qp.has_gen_eq():
+            gmask = qp.eqg_mask.reshape(-1)
+            parts.append(jnp.where(gmask, r2["gen"].reshape(-1), 0.0))
+        r2f = jnp.concatenate(parts)
         dxf, dyf = _saddle_solve(fac, n, g.reshape(-1), r2f)
         dx = dxf.reshape(qp.K + 1, qp.nv)
         ndyn = qp.K * qp.nx
+        nfix = n
         dy = {"dyn": dyf[:ndyn].reshape(qp.K, qp.nx),
-              "fix": jnp.where(fm, dyf[ndyn:], 0.0).reshape(qp.K + 1,
-                                                            qp.nv)}
+              "fix": jnp.where(fm, dyf[ndyn:ndyn + nfix],
+                               0.0).reshape(qp.K + 1, qp.nv)}
+        if qp.has_gen_eq():
+            gmask = qp.eqg_mask.reshape(-1)
+            dy["gen"] = jnp.where(
+                gmask, dyf[ndyn + nfix:], 0.0).reshape(qp.K + 1, qp.meq)
         dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)
         return dx, dy, dz, dw
 

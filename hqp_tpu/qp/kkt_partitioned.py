@@ -239,53 +239,171 @@ class PartitionedKKT:
     # -- assembly ------------------------------------------------------------
 
     @staticmethod
-    def _partition_blocks(Hs, As, mm_int, mm_e, dims, dual_reg):
-        """Per-partition interior saddle blocks MII and boundary couplings
-        MIB from stage data (vmapped over the partition axis -- the inputs
-        may be a local shard of the partitions under shard_map)."""
+    def _assembly_maps(dims):
+        """Static (numpy) gather/scatter index maps lowering stage data
+        onto the interior saddle MII [s, s] and coupling MIB [s, 2nx].
+
+        The naive per-stage ``.at[slice].set`` build issued ~6 L
+        dynamic-update-slice kernels per factor (measured ~4 ms of the
+        8 ms factor at L=20 on v5e); with static maps the whole assembly
+        is one gather + one scatter-add per source tensor."""
+        import numpy as np
+
         L, s, nx, nu, nv, (off_u, off_v, off_y) = dims
 
-        def build(Hp, Ap, mi, me):
-            M = jnp.zeros((s, s))
-            B = jnp.zeros((s, 2 * nx))          # cols: [x_s | x_e]
+        def block(rows, cols, src_base, src_shape, sel_r, sel_c, sign,
+                  out, src_sz):
+            """All (r, c) pairs of a dense sub-block; sel maps local
+            (a, b) to source indices within src_shape."""
+            a, b = np.meshgrid(np.arange(len(sel_r)), np.arange(len(sel_c)),
+                               indexing="ij")
+            rr = (rows + a).ravel()
+            cc = (cols + b).ravel()
+            si = (src_base
+                  + np.asarray(sel_r)[a.ravel()] * src_shape[-1]
+                  + np.asarray(sel_c)[b.ravel()])
+            out.append((rr, cc, si, np.full(rr.shape, sign, np.float64)))
 
-            # stationarity of u_{pL} (saddle sign convention [-H A'; A 0])
-            M = M.at[off_u:off_u + nu, off_u:off_u + nu].set(
-                -Hp[0, nx:, nx:])
-            B = B.at[off_u:off_u + nu, :nx].set(-Hp[0, nx:, :nx])
-            M = M.at[off_u:off_u + nu, off_y:off_y + nx].set(
-                Ap[0, :, nx:].T)
+        H_ent, A_ent, Hb_ent, Ab_ent = [], [], [], []
+        hrow = nv                      # Hs[j] row stride within a stage
+        hstage = nv * nv
+        astage = nx * nv
 
-            # interior stage variables v_j, j = 1..L-1
-            for j in range(1, L):
+        # u-block of stage 0: M[u, u] = -H0[nx:, nx:]
+        block(off_u, off_u, 0, (nv, nv), range(nx, nv), range(nx, nv),
+              -1.0, H_ent, hstage)
+        # B[u, :nx] = -H0[nx:, :nx]
+        block(off_u, 0, 0, (nv, nv), range(nx, nv), range(nx),
+              -1.0, Hb_ent, hstage)
+        # M[u, y0] = A0[:, nx:].T
+        a, b = np.meshgrid(np.arange(nu), np.arange(nx), indexing="ij")
+        A_ent.append(((off_u + a).ravel(), (off_y + b).ravel(),
+                      (b * nv + nx + a).ravel(),
+                      np.ones(nu * nx)))
+
+        for j in range(1, L):
+            r = off_v + (j - 1) * nv
+            # M[v_j, v_j] = -H[j]
+            block(r, r, j * hstage, (nv, nv), range(nv), range(nv),
+                  -1.0, H_ent, hstage)
+            # M[v_j, y_j] = A[j].T
+            a, b = np.meshgrid(np.arange(nv), np.arange(nx), indexing="ij")
+            A_ent.append(((r + a).ravel(),
+                          (off_y + j * nx + b).ravel(),
+                          (j * astage + b * nv + a).ravel(),
+                          np.ones(nv * nx)))
+        for j in range(L):
+            yj = off_y + j * nx
+            if j == 0:
+                # B[y0, :nx] = A0[:, :nx]
+                a, b = np.meshgrid(np.arange(nx), np.arange(nx),
+                                   indexing="ij")
+                Ab_ent.append(((yj + a).ravel(), b.ravel(),
+                               (a * nv + b).ravel(), np.ones(nx * nx)))
+                # M[y0, u] = A0[:, nx:]
+                a, b = np.meshgrid(np.arange(nx), np.arange(nu),
+                                   indexing="ij")
+                A_ent.append(((yj + a).ravel(), (off_u + b).ravel(),
+                              (a * nv + nx + b).ravel(), np.ones(nx * nu)))
+            else:
                 r = off_v + (j - 1) * nv
-                M = M.at[r:r + nv, r:r + nv].set(-Hp[j])
-                yj = off_y + j * nx
-                M = M.at[r:r + nv, yj:yj + nx].set(Ap[j].T)
-                yjm = off_y + (j - 1) * nx
-                M = M.at[r:r + nx, yjm:yjm + nx].add(
-                    -jnp.diag(mi[j - 1]))
+                a, b = np.meshgrid(np.arange(nx), np.arange(nv),
+                                   indexing="ij")
+                A_ent.append(((yj + a).ravel(), (r + b).ravel(),
+                              (j * astage + a * nv + b).ravel(),
+                              np.ones(nx * nv)))
 
-            # dynamics rows y_j: A_j v_j - x_{j+1} = r2_j
-            for j in range(L):
-                yj = off_y + j * nx
-                M = M.at[yj:yj + nx, yj:yj + nx].add(
-                    dual_reg * jnp.eye(nx))
-                if j == 0:
-                    B = B.at[yj:yj + nx, :nx].set(Ap[0, :, :nx])
-                    M = M.at[yj:yj + nx, off_u:off_u + nu].set(
-                        Ap[0, :, nx:])
-                else:
-                    r = off_v + (j - 1) * nv
-                    M = M.at[yj:yj + nx, r:r + nv].set(Ap[j])
-                if j < L - 1:
-                    r = off_v + j * nv
-                    M = M.at[yj:yj + nx, r:r + nx].add(-jnp.diag(mi[j]))
-                else:
-                    B = B.at[yj:yj + nx, nx:].set(-jnp.diag(me))
-            return M, B
+        # coupling masks mm_int [L-1, nx]: M[v_j(:nx), y_{j-1}] and
+        # M[y_j, v_{j+1}(:nx)] get -diag(mi)
+        mi_rows, mi_cols, mi_src = [], [], []
+        for j in range(1, L):
+            r = off_v + (j - 1) * nv
+            yjm = off_y + (j - 1) * nx
+            a = np.arange(nx)
+            mi_rows.append(r + a)
+            mi_cols.append(yjm + a)
+            mi_src.append((j - 1) * nx + a)
+        for j in range(L - 1):
+            yj = off_y + j * nx
+            r = off_v + j * nv
+            a = np.arange(nx)
+            mi_rows.append(yj + a)
+            mi_cols.append(r + a)
+            mi_src.append(j * nx + a)
 
-        return jax.vmap(build)(Hs, As, mm_int, mm_e)
+        # mm_e [nx]: B[y_{L-1}, nx:] = -diag(me)
+        a = np.arange(nx)
+        me_rows = off_y + (L - 1) * nx + a
+        me_cols = nx + a
+
+        # dual regularization: constant diagonal on the dynamics rows
+        dmask = np.zeros((s, s))
+        dmask[off_y + np.arange(L * nx), off_y + np.arange(L * nx)] = 1.0
+
+        def cat(ent):
+            rr = np.concatenate([e[0] for e in ent])
+            cc = np.concatenate([e[1] for e in ent])
+            si = np.concatenate([e[2] for e in ent])
+            sg = np.concatenate([e[3] for e in ent])
+            return rr, cc, si, sg
+
+        return dict(H=cat(H_ent), A=cat(A_ent), HB=cat(Hb_ent),
+                    AB=cat(Ab_ent),
+                    MI=(np.concatenate(mi_rows), np.concatenate(mi_cols),
+                        np.concatenate(mi_src)),
+                    ME=(me_rows, me_cols), dmask=dmask)
+
+    #: cache of assembly maps keyed by the static dim tuple
+    _maps_cache = {}
+
+    @classmethod
+    def _partition_blocks(cls, Hs, As, mm_int, mm_e, dims, dual_reg):
+        """Per-partition interior saddle blocks MII and boundary couplings
+        MIB from stage data (batched over the partition axis -- the inputs
+        may be a local shard of the partitions under shard_map).
+
+        Assembly is gather + scatter-add with STATIC index maps: a single
+        fused kernel per source tensor instead of ~6 L dynamic-update-
+        slices (the former dominated factor time)."""
+        L, s, nx, nu, nv, offs = dims
+        key = (L, s, nx, nu, nv, offs)
+        maps = cls._maps_cache.get(key)
+        if maps is None:
+            maps = cls._assembly_maps(dims)
+            cls._maps_cache[key] = maps
+
+        P = Hs.shape[0]
+        Hf = Hs.reshape(P, -1)
+        Af = As.reshape(P, -1)
+        mif = mm_int.reshape(P, -1)
+
+        hr, hc, hs_, hg = maps["H"]
+        ar, ac, as_, ag = maps["A"]
+        mir, mic, mis = maps["MI"]
+        rows = jnp.concatenate([jnp.asarray(hr), jnp.asarray(ar),
+                                jnp.asarray(mir)])
+        cols = jnp.concatenate([jnp.asarray(hc), jnp.asarray(ac),
+                                jnp.asarray(mic)])
+        vals = jnp.concatenate([
+            Hf[:, hs_] * jnp.asarray(hg),
+            Af[:, as_] * jnp.asarray(ag),
+            -mif[:, mis]], axis=1)
+        MII = jnp.asarray(maps["dmask"]) * dual_reg
+        MII = jnp.broadcast_to(MII, (P, s, s)).at[:, rows, cols].add(vals)
+
+        br, bc, bs_, bg = maps["HB"]
+        abr, abc, abs_, abg = maps["AB"]
+        mer, mec = maps["ME"]
+        rowsB = jnp.concatenate([jnp.asarray(br), jnp.asarray(abr),
+                                 jnp.asarray(mer)])
+        colsB = jnp.concatenate([jnp.asarray(bc), jnp.asarray(abc),
+                                 jnp.asarray(mec)])
+        valsB = jnp.concatenate([
+            Hf[:, bs_] * jnp.asarray(bg),
+            Af[:, abs_] * jnp.asarray(abg),
+            -mm_e], axis=1)
+        MIB = jnp.zeros((P, s, 2 * nx)).at[:, rowsB, colsB].add(valsB)
+        return MII, MIB
 
     def _dims(self, qp: StageQP):
         """Static dim tuple consumed by _partition_blocks."""

@@ -62,27 +62,76 @@ class Shell:
         "sqp_norm_s": "norm_dx!", "sqp_norm_x": "norm_x!",
         "sqp_norm_df": "norm_df!", "sqp_sQs": "sQs!", "sqp_xQx": "xQx!",
         "sqp_logging": "logging",
+        # Powell watchdog (hqp/Hqp_SqpPowell.C:63-65)
+        "sqp_watchdog_start": "watchdog_start",
+        "sqp_watchdog_credit": "watchdog_credit",
+        "sqp_watchdog_relaxed_steps": "wd_relaxed_steps!",
+        "sqp_watchdog_backouts": "wd_backouts!",
+        "sqp_damped_multipliers": "damped_multipliers",
     }
     QP_KNOBS = {
         "qp_eps": "eps", "qp_max_iters": "max_iters",
         "qp_max_warm_iters": "max_warm_iters", "qp_init_method":
         "init_method", "qp_gammaf": "gammaf",
     }
+    #: mdl_* knobs (omu/Prg_DynamicOpt.C:121-170) -> DynamicOpt/DynamicEst
+    #: constructor arguments; values set before prg_name re-create the
+    #: program like the reference's setup-stage knob evaluation
+    MDL_KNOBS = {
+        "mdl_x0": "x0",
+        "mdl_x_periodic": "x_periodic", "mdl_u_periodic": "u_periodic",
+        "mdl_u_min": "u_min", "mdl_u_max": "u_max", "mdl_u0": "u_init",
+        "mdl_der_u_min": "du_min", "mdl_der_u_max": "du_max",
+        "mdl_der_u_weight2": "du_weight2",
+        "mdl_u_ref": "u_ref", "mdl_u_weight1": "u_weight1",
+        "mdl_u_weight2": "u_weight2",
+        "mdl_y_ref": "y_ref", "mdl_y_weight1": "y_weight1",
+        "mdl_y_weight2": "y_weight2",
+        "mdl_y_min": "y_min", "mdl_y_max": "y_max",
+        "mdl_yf_ref": "yf_ref", "mdl_yf_weight1": "yf_weight1",
+        "mdl_yf_weight2": "yf_weight2",
+        "mdl_yf_min": "yf_min", "mdl_yf_max": "yf_max",
+        "mdl_y_soft_min": "y_soft_min", "mdl_y_soft_max": "y_soft_max",
+        "mdl_y_soft_weight1": "s_lin", "mdl_y_soft_weight2": "s_quad",
+        "mdl_u_order": "u_order", "mdl_u_decimation": "decimation",
+        "mdl_t_scale_active": "t_scale",
+        "mdl_t_scale_min": "t_scale_min", "mdl_t_scale_max": "t_scale_max",
+        "mdl_t0": "t0", "mdl_tf": "tf",
+        # DynamicEst names (omu/Prg_DynamicEst)
+        "mdl_p_active": "p_active", "mdl_p_min": "p_min",
+        "mdl_p_max": "p_max", "mdl_x0_active": "x0_active",
+        "mdl_y_active": "y_active",
+    }
 
-    def __init__(self):
+    def __init__(self, rcfile=None):
         self.prg = None
         self.solver = None
         self._sqp_name = "Powell"
         self._qp_mat_name = None
+        self._hela_name = None
         self._prg_kwargs = {}
+        # startup file, the ~/.hqprc role (hqp/Hqp_Init.C:215-219); off
+        # with HQP_TPU_RC=0 or rcfile=False
+        import os
+        if rcfile is None and os.environ.get("HQP_TPU_RC", "1") != "0":
+            rcfile = os.path.expanduser("~/.hqprc")
+        if rcfile and os.path.isfile(rcfile):
+            try:
+                with open(rcfile) as fh:
+                    self.run(fh.read())
+            except Exception:  # rc errors must not kill the shell
+                pass
 
     # -- dispatch ------------------------------------------------------------
 
     def __call__(self, line: str) -> str:
-        parts = shlex.split(line)
+        # Tcl-style brace lists ({1 2 3}) become Python lists
+        parts = shlex.split(line.replace("{", ' " ').replace("}", ' " '))
         if not parts:
             return ""
         cmd, args = parts[0], [_parse(a) for a in parts[1:]]
+        args = [([_parse(t) for t in a.split()] if isinstance(a, str)
+                 and " " in a else a) for a in args]
         fn = getattr(self, "cmd_" + cmd, None)
         if fn is not None:
             return str(fn(*args))
@@ -111,6 +160,20 @@ class Shell:
         if name is None:
             return self._sqp_name
         self._sqp_name = name
+        return name
+
+    def cmd_sqp_hela(self, name=None):
+        """Hessian-approximation module selection (reference:
+        ``sqp_hela BFGS``, hqp/Hqp_Init.C:203)."""
+        if name is None:
+            if self._hela_name:
+                return self._hela_name
+            if self.solver is not None:
+                return type(self.solver.hela).__name__
+            return "BFGS"
+        self._hela_name = name
+        if self.solver is not None:
+            self.solver.hela = modules.create("sqp_hela", name)
         return name
 
     def cmd_sqp_qp_solver(self, name=None):
@@ -151,6 +214,8 @@ class Shell:
             qp_name = getattr(self, "_qp_solver_name", None)
             if qp_name:
                 kw["qp_solver"] = modules.create("sqp_qp_solver", qp_name)
+            if self._hela_name:
+                kw["hela"] = modules.create("sqp_hela", self._hela_name)
             self.solver = modules.create("sqp_solver", self._sqp_name,
                                          self.prg, **kw)
         return self.solver
@@ -266,6 +331,36 @@ class Shell:
     def cmd_qp_iter(self):
         return self.solver.qp_iters_last
 
+    # -- result inspection (odc/omu.tcl) -------------------------------------
+
+    def cmd_omu_write_plt(self, fname, tscale=1.0):
+        """Write the solved trajectory as an OmSim-style .plt file
+        (omu_write_plt, odc/omu.tcl:68-100)."""
+        from hqp_tpu.omu import plt_io
+        ts, X, U = plt_io.solver_trajectory(self._need_solver())
+        plt_io.write_plt(fname, ts, X, U, tscale=tscale)
+        return fname
+
+    def cmd_omu_read_plt(self, fname, tstart=None, tend=None, dtmin=0.0):
+        """Read a .plt file back; stores (names, data) on the shell and
+        returns the point count (omu_read_plt, odc/omu.tcl:23-58)."""
+        from hqp_tpu.omu import plt_io
+        ts = None if tstart in (None, "all") else float(tstart)
+        te = None if tend in (None, "all") else float(tend)
+        self.plt_names, self.plt_data = plt_io.read_plt(
+            fname, tstart=ts, tend=te, dtmin=float(dtmin))
+        return self.plt_data.shape[0]
+
+    def cmd_omu_plot(self, sidx, tscale=1.0):
+        """The polyline omu_plot would draw for variable ``sidx``
+        (controls as piecewise-constant staircases, odc/omu.tcl:107-192);
+        returns 'npoints' and stores (xdata, ydata) on the shell."""
+        from hqp_tpu.omu import plt_io
+        ts, X, U = plt_io.solver_trajectory(self._need_solver())
+        self.plot_xdata, self.plot_ydata = plt_io.plot_series(
+            ts, X, U, int(sidx), tscale=tscale)
+        return len(self.plot_xdata)
+
     # -- knobs ---------------------------------------------------------------
 
     def _knob(self, cmd, args):
@@ -277,6 +372,31 @@ class Shell:
         if cmd in self.QP_KNOBS:
             return self._attr(self._need_solver().qp_solver,
                               self.QP_KNOBS[cmd], args)
+        if cmd in self.MDL_KNOBS:
+            # model-formulation knobs are constructor arguments: store
+            # and re-create the program (Prg_DynamicOpt re-reads its
+            # mdl_* values in setup, omu/Prg_DynamicOpt.C:232+)
+            attr = self.MDL_KNOBS[cmd]
+            if args:
+                self._prg_kwargs[attr] = args[0]
+                if self.prg is not None:
+                    self.prg = modules.create(
+                        "prg_name", self._prg_name, **self._prg_kwargs)
+                    self.solver = None
+                return args[0]
+            if self.prg is not None and hasattr(self.prg, attr):
+                return self._attr(self.prg, attr, args)
+            return self._prg_kwargs.get(attr, "")
+        if cmd.startswith("prg_int_"):
+            # integrator knobs (omu/Omu_Integrator.C: prg_int_rtol,
+            # prg_int_atol, prg_int_stepsize, evaluation counters ...)
+            it = getattr(self.prg, "integrator", None)
+            if it is None:
+                raise KeyError("current program has no integrator slot")
+            attr = cmd[8:]
+            if not hasattr(it, attr):
+                raise KeyError(f"integrator has no knob {attr!r}")
+            return self._attr(it, attr, args)
         if cmd.startswith("prg_"):
             attr = cmd[4:]
             if self.prg is not None and hasattr(self.prg, attr):

@@ -43,6 +43,10 @@ class SqpPowell(SqpSolver):
         self._phil = 0.0
         self._phil_test = 0.0
         self._wd_backup = None
+        #: observability counters (reference logs these events when
+        #: sqp_watchdog_logging, Hqp_SqpPowell.C:280-346)
+        self.wd_relaxed_steps = 0
+        self.wd_backouts = 0
 
     # penalty coefficient update (Powell's rule, C:118-150)
     def _update_r(self, z, r):
@@ -84,6 +88,7 @@ class SqpPowell(SqpSolver):
         if self.watchdog_credit > 0 and self.iter >= self.watchdog_start:
             if phi0 <= self._phil_test:
                 self._relaxed = True
+                self.wd_relaxed_steps += 1
                 self._watchdog_iter = self.iter
                 self._wd_backup = (x0, self.s, self.y, self.z)
                 self._phil = phi0
@@ -94,6 +99,7 @@ class SqpPowell(SqpSolver):
             if (self._watchdog_iter >= 0 and
                     self.iter >= self._watchdog_iter + self.watchdog_credit):
                 # back out to the stored iterate (C:313-345)
+                self.wd_backouts += 1
                 xl, qp_xl, yl, zl = self._wd_backup
                 self.x = xl
                 self.y, self.z = yl, zl
