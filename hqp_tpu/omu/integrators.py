@@ -246,7 +246,8 @@ class IMP(Integrator):
 
 # Shampine's Rosenbrock parameters (Numerical Recipes "stiff"), same
 # linear-implicit 4th-order family as the reference's ros4.f port
-# (omu/Omu_IntGRK4.C)
+# (omu/Omu_IntGRK4.C), including the embedded 3rd-order error estimator
+# the Fortran code uses for its step control
 _RB_GAM = 0.5
 _RB_A21 = 2.0
 _RB_A31, _RB_A32 = 48.0 / 25.0, 6.0 / 25.0
@@ -254,6 +255,7 @@ _RB_C21 = -8.0
 _RB_C31, _RB_C32 = 372.0 / 25.0, 12.0 / 5.0
 _RB_C41, _RB_C42, _RB_C43 = -112.0 / 125.0, -54.0 / 125.0, -2.0 / 5.0
 _RB_B1, _RB_B2, _RB_B3, _RB_B4 = 19.0 / 9.0, 0.5, 25.0 / 108.0, 125.0 / 108.0
+_RB_E1, _RB_E2, _RB_E3, _RB_E4 = 17.0 / 54.0, 7.0 / 36.0, 0.0, 125.0 / 108.0
 _RB_C1X, _RB_C2X, _RB_C3X, _RB_C4X = 0.5, -1.5, 121.0 / 50.0, 29.0 / 250.0
 _RB_A2X, _RB_A3X = 1.0, 3.0 / 5.0
 
@@ -262,38 +264,84 @@ _RB_A2X, _RB_A3X = 1.0, 3.0 / 5.0
 class GRK4(Integrator):
     """4th-order linear-implicit Rosenbrock (Shampine parameters), the role
     of omu/Omu_IntGRK4.C for stiff systems; one Jacobian + one
-    factorization per step, no Newton iteration."""
+    factorization per step, no Newton iteration.  Fixed-step driver; the
+    embedded step control of the ros4.f port is :class:`GRK4Adaptive`."""
+
+    def _rb_step(self, F, kk, t, xs, u, h):
+        """One Rosenbrock step -> (x4, embedded error vector)."""
+        n = xs.shape[0]
+
+        def f_of(xx, tt):
+            return self._xdot(F, kk, tt, xx, u)
+
+        J = jax.jacfwd(f_of, argnums=0)(xs, t)
+        dfdt = jax.jacfwd(f_of, argnums=1)(xs, t)
+        M = jnp.eye(n) / (_RB_GAM * h) - J
+        lu = sl.lu_nopiv(M)
+
+        g1 = sl.lu_nopiv_solve(lu, f_of(xs, t) + h * _RB_C1X * dfdt)
+        g2 = sl.lu_nopiv_solve(
+            lu, f_of(xs + _RB_A21 * g1, t + _RB_A2X * h)
+            + h * _RB_C2X * dfdt + _RB_C21 * g1 / h)
+        x3 = xs + _RB_A31 * g1 + _RB_A32 * g2
+        g3 = sl.lu_nopiv_solve(
+            lu, f_of(x3, t + _RB_A3X * h) + h * _RB_C3X * dfdt
+            + (_RB_C31 * g1 + _RB_C32 * g2) / h)
+        g4 = sl.lu_nopiv_solve(
+            lu, f_of(x3, t + _RB_A3X * h) + h * _RB_C4X * dfdt
+            + (_RB_C41 * g1 + _RB_C42 * g2 + _RB_C43 * g3) / h)
+        x4 = xs + _RB_B1 * g1 + _RB_B2 * g2 + _RB_B3 * g3 + _RB_B4 * g4
+        err = _RB_E1 * g1 + _RB_E2 * g2 + _RB_E3 * g3 + _RB_E4 * g4
+        return x4, err
 
     def solve(self, F, kk, t0, t1, x, u):
         h = (t1 - t0) / self.steps
-        n = x.shape[0]
-
-        def step(xs, t):
-            def f_of(xx, tt):
-                return self._xdot(F, kk, tt, xx, u)
-
-            J = jax.jacfwd(f_of, argnums=0)(xs, t)
-            dfdt = jax.jacfwd(f_of, argnums=1)(xs, t)
-            M = jnp.eye(n) / (_RB_GAM * h) - J
-            lu = sl.lu_nopiv(M)
-
-            g1 = sl.lu_nopiv_solve(lu, f_of(xs, t) + h * _RB_C1X * dfdt)
-            g2 = sl.lu_nopiv_solve(
-                lu, f_of(xs + _RB_A21 * g1, t + _RB_A2X * h)
-                + h * _RB_C2X * dfdt + _RB_C21 * g1 / h)
-            x3 = xs + _RB_A31 * g1 + _RB_A32 * g2
-            g3 = sl.lu_nopiv_solve(
-                lu, f_of(x3, t + _RB_A3X * h) + h * _RB_C3X * dfdt
-                + (_RB_C31 * g1 + _RB_C32 * g2) / h)
-            g4 = sl.lu_nopiv_solve(
-                lu, f_of(x3, t + _RB_A3X * h) + h * _RB_C4X * dfdt
-                + (_RB_C41 * g1 + _RB_C42 * g2 + _RB_C43 * g3) / h)
-            return xs + _RB_B1 * g1 + _RB_B2 * g2 + _RB_B3 * g3 + _RB_B4 * g4
 
         def body(i, xs):
-            return step(xs, t0 + i * h)
+            xn, _ = self._rb_step(F, kk, t0 + i * h, xs, u, h)
+            return xn
 
         return jax.lax.fori_loop(0, self.steps, body, x)
+
+
+@modules.register("prg_integrator", "GRK4Adaptive")
+class GRK4Adaptive(GRK4):
+    """Rosenbrock with the EMBEDDED step control of the reference's
+    ros4.f port (omu/Omu_IntGRK4.C / NR 'stiff' driver): the 3rd-order
+    embedded solution supplies the local error, steps shrink as
+    err^(-1/3) on rejection and grow as err^(-1/4) on acceptance, as a
+    single ``lax.while_loop``."""
+
+    def __init__(self, max_steps: int = 2000, **kw):
+        super().__init__(**kw)
+        self.max_steps = max_steps
+
+    def solve(self, F, kk, t0, t1, x, u):
+        rtol, atol = self.rtol, self.atol
+        span = t1 - t0
+
+        def cond(st):
+            t, xs, h, n = st
+            return (t < t1 - 1e-12 * jnp.abs(span)) & (n < self.max_steps)
+
+        def body(st):
+            t, xs, h, n = st
+            h = jnp.minimum(h, t1 - t)
+            xn, ev = self._rb_step(F, kk, t, xs, u, h)
+            err = jnp.sqrt(jnp.mean(
+                (ev / (atol + rtol * jnp.maximum(jnp.abs(xs),
+                                                 jnp.abs(xn)))) ** 2)
+                + 1e-300)
+            accept = err <= 1.0
+            fac = jnp.where(accept,
+                            jnp.clip(0.9 * err ** (-0.25), 1.0, 5.0),
+                            jnp.clip(0.9 * err ** (-1.0 / 3.0), 0.1, 1.0))
+            return (jnp.where(accept, t + h, t),
+                    jnp.where(accept, xn, xs), h * fac, n + 1)
+
+        h0 = jnp.where(self.stepsize > 0.0, self.stepsize, span / 4.0)
+        _, xs, _, _ = jax.lax.while_loop(cond, body, (t0, x, h0, 0))
+        return xs
 
 
 # Alexander's 3-stage, 3rd-order, L-stable, stiffly accurate SDIRK
@@ -607,3 +655,161 @@ class BDFAdaptive(BDF):
         _, _, xK, _, _, _ = jax.lax.while_loop(
             cond, body, (t0 + hs, x, x1, hs, hs, 0))
         return xK
+
+
+@modules.register("prg_integrator", "BDFVarOrder")
+class BDFVarOrder(BDF):
+    """Variable-ORDER, variable-step BDF(1..3) -- the adaptive-multistep
+    role of DASPK (omu/Omu_IntDASPK.C; DASPK 3.0 selects the BDF order
+    per step).  A four-point history with per-interval steps supports
+    orders 1-3 with true variable-step Lagrange coefficients; each step
+    makes ONE implicit solve at the current order, then order selection
+    compares the per-order predictor residuals e_j = ||xc - xp_j||
+    (Shampine's order-selection-by-predictor-residual heuristic) and
+    moves the order by at most one toward the largest permissible step
+    factor (1/e_j)^(1/(j+1)).  Runs as one ``lax.while_loop``."""
+
+    def __init__(self, max_steps: int = 20000, max_order: int = 3, **kw):
+        super().__init__(**kw)
+        self.max_steps = max_steps
+        self.max_order = max_order
+
+    @staticmethod
+    def _lagrange_dot_weights(taus, t_at):
+        """w_j = l_j'(t_at) for nodes taus (list of scalars)."""
+        m = len(taus)
+        ws = []
+        for j in range(m):
+            total = 0.0
+            for i in range(m):
+                if i == j:
+                    continue
+                term = 1.0 / (taus[j] - taus[i])
+                for q in range(m):
+                    if q in (i, j):
+                        continue
+                    term = term * (t_at - taus[q]) / (taus[j] - taus[q])
+                total = total + term
+            ws.append(total)
+        return ws
+
+    @staticmethod
+    def _lagrange_weights(taus, t_at):
+        """w_j = l_j(t_at) (extrapolation weights)."""
+        m = len(taus)
+        ws = []
+        for j in range(m):
+            term = 1.0
+            for q in range(m):
+                if q == j:
+                    continue
+                term = term * (t_at - taus[q]) / (taus[j] - taus[q])
+            ws.append(term)
+        return ws
+
+    def _loop_parts(self, F, kk, t0, t1, x, u):
+        rtol, atol = self.rtol, self.atol
+        span = t1 - t0
+        self._u = u
+        n = x.shape[0]
+        kmax = min(3, self.max_order)
+
+        hs0 = jnp.asarray(span) * jnp.sqrt(jnp.maximum(rtol, 1e-14))
+        if self.stepsize > 0.0:
+            hs0 = jnp.minimum(hs0, self.stepsize)
+
+        def scaled(e, a, b):
+            return jnp.sqrt(jnp.mean(
+                (e / (atol + rtol * jnp.maximum(jnp.abs(a),
+                                                jnp.abs(b)))) ** 2)
+                + 1e-300)
+
+        def body(st):
+            t, X, hh, k, h, nh, nstep = st
+            # X: [4, n] newest-last; hh: [3] intervals newest-last
+            h = jnp.minimum(h, t1 - t)
+            # node times relative to t_n (X[3]):
+            tau1 = -hh[2]
+            tau2 = tau1 - hh[1]
+            tau3 = tau2 - hh[0]
+            # per-order corrector coefficients (computed for all orders,
+            # selected by where -- the scalars are nearly free)
+            a0s, hists, xps = [], [], []
+            for order, taus in ((1, [h, 0.0]),
+                                (2, [h, 0.0, tau1]),
+                                (3, [h, 0.0, tau1, tau2])):
+                wd = self._lagrange_dot_weights(taus, h)
+                a0s.append(wd[0])
+                hist = jnp.zeros(n)
+                for j in range(1, len(taus)):
+                    hist = hist - wd[j] * X[3 - (j - 1)]
+                hists.append(hist)
+                wp = self._lagrange_weights(taus[1:], h)
+                xp = jnp.zeros(n)
+                for j, w in enumerate(wp):
+                    xp = xp + w * X[3 - j]
+                xps.append(xp)
+
+            a0 = jnp.where(k == 1, a0s[0],
+                           jnp.where(k == 2, a0s[1], a0s[2]))
+            hist = jnp.where(k == 1, hists[0],
+                             jnp.where(k == 2, hists[1], hists[2]))
+            xp = jnp.where(k == 1, xps[0],
+                           jnp.where(k == 2, xps[1], xps[2]))
+
+            xc = self._implicit_step(F, kk, t + h, xp, a0, hist)
+            kf = k.astype(x.dtype)
+            err = scaled((xc - xp) / (kf + 1.0), X[3], xc)
+            accept = err <= 1.0
+
+            # order selection: predictor residuals per order
+            e1 = scaled((xc - xps[0]) / 2.0, X[3], xc)
+            e2 = scaled((xc - xps[1]) / 3.0, X[3], xc)
+            e3 = scaled((xc - xps[2]) / 4.0, X[3], xc)
+            r1 = 0.9 * e1 ** (-1.0 / 2.0)
+            r2 = jnp.where(nh >= 2, 0.9 * e2 ** (-1.0 / 3.0), 0.0)
+            r3 = jnp.where(nh >= 3, 0.9 * e3 ** (-1.0 / 4.0), 0.0)
+            rs = jnp.stack([r1, r2, r3][:kmax])
+            kbest = jnp.argmax(rs) + 1
+            knext = jnp.clip(kbest, k - 1, k + 1)
+            knext = jnp.clip(knext, 1, jnp.minimum(nh + 1, kmax))
+            rsel = rs[knext - 1]
+
+            fac = jnp.where(accept, jnp.clip(rsel, 0.2, 2.5),
+                            jnp.clip(0.9 * err ** (-1.0 / (kf + 1.0)),
+                                     0.1, 0.9))
+            Xn = jnp.where(accept,
+                           jnp.concatenate([X[1:], xc[None]], axis=0), X)
+            hhn = jnp.where(accept,
+                            jnp.concatenate([hh[1:], h[None]]), hh)
+            return (jnp.where(accept, t + h, t), Xn, hhn,
+                    jnp.where(accept, knext, k),
+                    h * fac,
+                    jnp.where(accept, jnp.minimum(nh + 1, 3), nh),
+                    nstep + 1)
+
+        def cond(st):
+            t, X, hh, k, h, nh, nstep = st
+            return (t < t1 - 1e-12 * jnp.abs(span)) & \
+                (nstep < self.max_steps)
+
+        return cond, body, hs0
+
+    def _run(self, F, kk, t0, t1, x, u):
+        cond, body, hs0 = self._loop_parts(F, kk, t0, t1, x, u)
+        X0 = jnp.tile(x[None], (4, 1))
+        hh0 = jnp.full((3,), hs0)
+        st = (jnp.asarray(t0, x.dtype), X0, hh0, jnp.asarray(1),
+              jnp.asarray(hs0, x.dtype), jnp.asarray(0), 0)
+        return jax.lax.while_loop(cond, body, st)
+
+
+    def solve(self, F, kk, t0, t1, x, u):
+        _, X, _, _, _, _, _ = self._run(F, kk, t0, t1, x, u)
+        return X[3]
+
+    def solve_stats(self, F, kk, t0, t1, x, u):
+        """(x(t1), attempted steps, final order) -- test/diagnostic hook
+        (the reference reads DASPK's IWORK counters the same way)."""
+        _, X, _, k, _, _, nstep = self._run(F, kk, t0, t1, x, u)
+        return X[3], int(nstep), int(k)

@@ -16,10 +16,26 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax
+import numpy as np
+
 from hqp_tpu.qp import mehrotra as ip
 from hqp_tpu.sqp.solver import SqpSolver, _phi, _phi1
 from hqp_tpu.utils import masked as mk
 from hqp_tpu.utils.registry import modules
+
+
+@jax.jit
+def _phi_pair(f, qp, s, re, r):
+    """[phi(x), phi1(x + s)] in one device array -- one host transfer
+    per line-search setup instead of two."""
+    return jnp.stack([_phi(f, qp, re, r), _phi1(f, qp, s, re, r)])
+
+
+@jax.jit
+def _ls_stats(f, qp, re, r):
+    """[f, phi] per line-search trial in one transfer."""
+    return jnp.stack([f, _phi(f, qp, re, r)])
 
 
 @modules.register("sqp_solver", "Powell")
@@ -73,9 +89,10 @@ class SqpPowell(SqpSolver):
         x0 = self.x
         f0v = self.f
         qp0 = qp
-        phi0 = float(_phi(self.f, qp, self.re, self.r))
+        pp = np.asarray(_phi_pair(self.f, qp, self.s, self.re, self.r))
+        phi0 = float(pp[0])
         phik = phi0
-        dphi0 = float(_phi1(self.f, qp, self.s, self.re, self.r)) - phi0
+        dphi0 = float(pp[1]) - phi0
 
         alpha = self.min_alpha if dphi0 > 0.0 else 1.0
 
@@ -115,9 +132,10 @@ class SqpPowell(SqpSolver):
                 self.s = qp_xl
                 qp = self.qp
                 x0 = self.x
-                phi0 = phik = float(_phi(self.f, qp, self.re, self.r))
-                dphi0 = float(_phi1(self.f, qp, self.s, self.re,
-                                    self.r)) - phi0
+                pp = np.asarray(_phi_pair(self.f, qp, self.s, self.re,
+                                          self.r))
+                phi0 = phik = float(pp[0])
+                dphi0 = float(pp[1]) - phi0
                 self._phil = phi0
                 self._relaxed = False
                 self._watchdog_iter = -1
@@ -135,10 +153,11 @@ class SqpPowell(SqpSolver):
                 break
             if self._relaxed and self.watchdog_credit > 0:
                 break  # accept full step under watchdog relaxation
-            if not jnp.isfinite(f):
+            ls = np.asarray(_ls_stats(f, qpv, self.re, self.r))
+            if not np.isfinite(ls[0]):
                 alpha *= 0.1
                 continue
-            phik = float(_phi(f, qpv, self.re, self.r))
+            phik = float(ls[1])
             if phik <= phi0 + 0.1 * alpha * dphi0 or abs(dphi0) <= eps:
                 break
             n_alpha = 0.5 * dphi0 * alpha * alpha / \

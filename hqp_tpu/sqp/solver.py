@@ -86,6 +86,33 @@ def _grd_L_of_qp(qp, y, z):
     return qp.c - qp.matvec_eqT(y) - qp.matvec_ineqT(z)
 
 
+@jax.jit
+def _update_stats(qp, x, f, f_bak, grd_L):
+    """All qp_update scalars in ONE device array (one host transfer
+    instead of five: every device->host readback on the tunneled TPU
+    backend costs ~1 ms of round-trip + dispatch)."""
+    xQx = mk.inner(qp.matvec_Q(x), x)
+    return jnp.stack([
+        xQx,
+        infeasibility(qp),
+        jnp.abs(f_bak - f),
+        mk.norm_inf(grd_L, qp.x_mask()),
+        mk.norm_inf(x),
+    ])
+
+
+@jax.jit
+def _solve_stats(qp, s):
+    """qp_solve scalars in one transfer: [sQs, norm_dx]."""
+    return jnp.stack([mk.inner(qp.matvec_Q(s), s), mk.norm_inf(s)])
+
+
+@jax.jit
+def _step_stats(qp, x):
+    """step scalars in one transfer: [norm_x, norm_inf]."""
+    return jnp.stack([mk.norm_inf(x), infeasibility(qp)])
+
+
 class SqpSolver:
     """Base SQP solver; subclasses implement ``update_vals`` (line search).
 
@@ -203,13 +230,14 @@ class SqpSolver:
                                 prg.q_to_blocks(qp.Q))
             qp = dataclasses.replace(qp, Q=prg.q_from_blocks(Qb))
             self.f, self.qp = f, qp
-            xb = qp.matvec_Q(self.x)
-            self.xQx = float(mk.inner(xb, self.x))
+            import numpy as np
+            st = np.asarray(_update_stats(qp, self.x, f, f, qp.c))
+            self.xQx = float(st[0])
             self.sQs = self.xQx
-            self.norm_inf = float(infeasibility(qp))
+            self.norm_inf = float(st[1])
             self.norm_df = 0.0
-            self.norm_grd_L = float(mk.norm_inf(qp.c, qp.x_mask()))
-            self.norm_x = float(mk.norm_inf(self.x))
+            self.norm_grd_L = float(st[3])
+            self.norm_x = float(st[4])
             self.grd_L = qp.c
         else:
             dL_old = _grd_L_of_qp(self.qp, self.y, self.z)
@@ -227,11 +255,13 @@ class SqpSolver:
             qp = dataclasses.replace(qp, Q=prg.q_from_blocks(Qb))
             self.qp = qp
             self.grd_L = grd_L
-            xb = qp.matvec_Q(self.x)
-            self.xQx = float(mk.inner(xb, self.x))
-            self.norm_inf = float(infeasibility(qp))
-            self.norm_df = abs(float(self.f_bak) - float(f))
-            self.norm_grd_L = float(mk.norm_inf(grd_L, qp.x_mask()))
+            import numpy as np
+            st = np.asarray(_update_stats(qp, self.x, f, self.f_bak,
+                                          grd_L))
+            self.xQx = float(st[0])
+            self.norm_inf = float(st[1])
+            self.norm_df = float(st[2])
+            self.norm_grd_L = float(st[3])
 
     # -- qp_solve (hqp/Hqp_SqpSolver.C:270-302) ------------------------------
 
@@ -246,9 +276,10 @@ class SqpSolver:
         self.status = int(self.ip_state.result)
         self.qp_iters_last = int(self.ip_state.iter)
         self.qp_iters_total += self.qp_iters_last
-        sQ = self.qp.matvec_Q(self.s)
-        self.sQs = float(mk.inner(sQ, self.s))
-        self.norm_dx = float(mk.norm_inf(self.s))
+        import numpy as np
+        st = np.asarray(_solve_stats(self.qp, self.s))
+        self.sQs = float(st[0])
+        self.norm_dx = float(st[1])
 
     # -- MPC hot start (hqp/Hqp_SqpSolver.C:321-340, hqp_solve.tcl:76-78) ----
 
@@ -312,8 +343,10 @@ class SqpSolver:
             self.update_vals()
             if self.alpha <= self.min_alpha:
                 self.feasible_vals()
-        self.norm_x = float(mk.norm_inf(self.x))
-        self.norm_inf = float(infeasibility(self.qp))
+        import numpy as np
+        st = np.asarray(_step_stats(self.qp, self.x))
+        self.norm_x = float(st[0])
+        self.norm_inf = float(st[1])
         self.iter += 1
         if self.status not in (ip.OPTIMAL, ip.FEASIBLE):
             self.inf_iters += 1
