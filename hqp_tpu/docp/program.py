@@ -62,6 +62,33 @@ class Docp:
         layer widens per-sample-period constraint bounds here."""
         return self.setup_vars()
 
+    # ---- jit identity ------------------------------------------------------
+
+    def _static_config(self):
+        """Override to return a hashable constructor-config tuple.
+
+        Program instances ride as STATIC arguments of the jitted
+        evaluation entry points; with only identity-based hashing, every
+        fresh instance of the same problem re-traces and re-lowers them
+        (measured ~1 s of the 2.7 s warm did1000 solve).  A program whose
+        trace depends only on constructor configuration should return
+        that configuration here so identically-configured instances share
+        the in-memory trace cache (the same contract as the solvers'
+        value-based identity, hqp_tpu.qp.mehrotra.Mehrotra._config).
+        Return None (default) to keep identity semantics."""
+        return None
+
+    def __hash__(self):
+        c = self._static_config()
+        return object.__hash__(self) if c is None else hash((type(self), c))
+
+    def __eq__(self, other):
+        c = self._static_config()
+        if c is None:
+            return self is other
+        return type(other) is type(self) and \
+            other._static_config() == c
+
     def f(self, k, x, u):
         raise NotImplementedError
 

@@ -40,6 +40,9 @@ class PrgDID(Docp):
         if not with_cns:
             self.mc = 0
 
+    def _static_config(self):
+        return (self.K, self.with_cns)
+
     def setup_vars(self):
         K, K1 = self.K, self.K + 1
         inf = np.inf

@@ -86,7 +86,12 @@ def make_scenario_solve(prg, solver):
     (Mehrotra.solve_device), vmapped over the batch axis.  Under a
     dp-sharded batch every device drives its scenarios to completion
     without host round-trips -- the honest 'IP iters/s' configuration
-    (BASELINE.md config 5)."""
+    (BASELINE.md config 5).
+
+    Backend note: construct the KKT backend with ``master="cr"`` for
+    batched use -- vmapping the Pallas block-Thomas master lifts the
+    batch into the kernel grid and serializes (measured 30x slower at
+    256 scenarios), while cyclic reduction is batched einsums."""
 
     def one(v, Q):
         _, qp = prg.make_qp(v, Q=Q)

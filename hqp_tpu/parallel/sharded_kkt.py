@@ -45,6 +45,9 @@ class ShardedPartitionedKKT(PartitionedKKT):
 
     def __init__(self, mesh: Mesh, axis: str = "sp", L: int = 16,
                  refine_rounds: int = 4, **kw):
+        # block-Thomas is a Pallas kernel; inside shard_map keep the
+        # einsum-based cyclic reduction (vmap/shard-friendly)
+        kw.setdefault("master", "cr")
         super().__init__(L=L, refine_rounds=refine_rounds, **kw)
         self.mesh = mesh
         self.axis = axis
@@ -99,7 +102,8 @@ class ShardedPartitionedKKT(PartitionedKKT):
         Schur_l = -jnp.einsum("psb,psc->pbc", MIB, W)   # [Pl, 2nx, 2nx]
         Schur = self._gather_replicated(Schur_l)        # [P, 2nx, 2nx]
         LuuK, KgainK, PKxx = self._terminal(HK, nx)
-        master, dM = self._master_build(Schur, Hb, PKxx, nx)
+        master, dM = self._master_build(Schur, Hb, PKxx, nx,
+                                        kernel=self.master)
         return Minv, Dd, MII, W, MIB, master, dM, LuuK, KgainK
 
     def factor(self, qp: StageQP, z, w, mask):
@@ -133,7 +137,8 @@ class ShardedPartitionedKKT(PartitionedKKT):
         corr = self._gather_replicated(corr_l)           # [P, 2nx]
         rhoB = rhoB0.at[:-1].add(-corr[:, :nx])
         rhoB = rhoB.at[1:].add(-corr[:, nx:])
-        xB = _master_solve(master, dM, -rhoB, nx)        # replicated [P+1, nx]
+        xB = _master_solve(master, dM, -rhoB, nx,
+                           kernel=self.master)    # replicated [P+1, nx]
 
         i0 = jax.lax.axis_index(self.axis) * Pl
         xs = jax.lax.dynamic_slice_in_dim(xB, i0, Pl + 1, axis=0)

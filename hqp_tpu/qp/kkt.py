@@ -74,6 +74,10 @@ from hqp_tpu.qp.program import StageQP, DenseQP, IneqGroups
 #: stay honest.
 SIGMA_CAP = 1e12
 
+#: kkt_residual norm style: True = single fused max over concatenated
+#: components, False = per-group norm tree (perf A/B, see profile_kkt8)
+RES_SINGLE_MAX = False
+
 
 def barrier_ratios(z, w, mask):
     """sigma = min(z/w, SIGMA_CAP) per inequality group, zero if masked."""
@@ -126,9 +130,18 @@ def kkt_residual(qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw):
                   mk.tmap(lambda a, zi, wi, dzi, dwi: a - (zi * dwi
                                                           + wi * dzi),
                           r4, z, w, dz, dw), 0.0)
-    res = jnp.maximum(
-        jnp.maximum(mk.norm_inf(e1), mk.norm_inf(e2, emask)),
-        jnp.maximum(mk.norm_inf(e3, mask), mk.norm_inf(e4, mask)))
+    if RES_SINGLE_MAX:
+        # one reduction over all residual components
+        import jax.tree_util as jtu
+        leaves = [jnp.abs(e1).ravel()]
+        for t, m in ((e2, emask), (e3, mask), (e4, mask)):
+            for le, lm in zip(jtu.tree_leaves(t), jtu.tree_leaves(m)):
+                leaves.append(jnp.where(lm, jnp.abs(le), 0.0).ravel())
+        res = jnp.max(jnp.concatenate(leaves))
+    else:
+        res = jnp.maximum(
+            jnp.maximum(mk.norm_inf(e1), mk.norm_inf(e2, emask)),
+            jnp.maximum(mk.norm_inf(e3, mask), mk.norm_inf(e4, mask)))
     return e1, e2, e3, e4, res
 
 
@@ -606,9 +619,15 @@ class FullStageKKT:
         cc = np.broadcast_to(
             np.arange(K1)[:, None, None] * nv
             + np.arange(nv)[None, None, :], (K1, meq, nv))
+        Em = qp.E * qp.eqg_mask[:, :, None]
         G = jnp.zeros((K1 * meq, n)).at[rr.ravel(), cc.ravel()].set(
-            (qp.E * qp.eqg_mask[:, :, None]).ravel())
-        return G, qp.eqg_mask.reshape(-1)
+            Em.ravel())
+        # rows with an identically zero Jacobian (e.g. c = x'x linearized
+        # at x = 0) would make the hard saddle system singular; the
+        # penalty backends drop them naturally (E'E = 0), so the oracle
+        # deactivates them the same way (their dy stays 0)
+        live = jnp.sum(jnp.abs(Em), axis=2) > 0.0
+        return G, (qp.eqg_mask & live).reshape(-1)
 
     def factor(self, qp: StageQP, z, w, mask):
         Hb = _stage_hessians(qp, z, w, mask)      # [K1, nv, nv]
@@ -633,7 +652,7 @@ class FullStageKKT:
         parts = [r2["dyn"].reshape(-1),
                  jnp.where(fm, r2["fix"].reshape(-1), 0.0)]
         if qp.has_gen_eq():
-            gmask = qp.eqg_mask.reshape(-1)
+            _, gmask = self._gen_eq_rows(qp)
             parts.append(jnp.where(gmask, r2["gen"].reshape(-1), 0.0))
         r2f = jnp.concatenate(parts)
         dxf, dyf = _saddle_solve(fac, n, g.reshape(-1), r2f)
@@ -644,7 +663,6 @@ class FullStageKKT:
               "fix": jnp.where(fm, dyf[ndyn:ndyn + nfix],
                                0.0).reshape(qp.K + 1, qp.nv)}
         if qp.has_gen_eq():
-            gmask = qp.eqg_mask.reshape(-1)
             dy["gen"] = jnp.where(
                 gmask, dyf[ndyn + nfix:], 0.0).reshape(qp.K + 1, qp.meq)
         dz, dw = recover_zw(qp, z, w, mask, dx, r3, r4)

@@ -36,6 +36,7 @@ from hqp_tpu.ops import blocktri
 from hqp_tpu.ops import gj_pallas
 from hqp_tpu.ops import thomas_pallas
 from hqp_tpu.ops import smalllin as sl
+from hqp_tpu.utils import masked as mk
 from hqp_tpu.utils.registry import modules
 from hqp_tpu.qp.program import StageQP
 from hqp_tpu.qp import kkt as K_
@@ -127,16 +128,25 @@ def _master_matvec(Sm, Um, x):
     return y
 
 
-#: master backend: "cr" = f64 cyclic reduction (exact, default);
-#: "thomas" = f32 single-launch Pallas Thomas + inner refinement
-#: (faster per solve but measured rel. error ~1e-1 on cond-1e5 masters,
-#: so it degrades the outer refinement -- keep for well-conditioned use)
-MASTER_KERNEL = "cr"
+#: master backend: "cr" = f64 cyclic reduction (exact); "thomas" = f32
+#: single-launch Pallas block-Thomas + f64 inner refinement; None =
+#: resolve by factor dtype: thomas on TPU (measured: identical final
+#: KKT residual 7.1e-8 on the did1000 bench with ~0.3 ms less per
+#: factor+solve -- the f64 refinement rounds fully recover the f32
+#: kernel), CR on f64 hosts (exact, and Pallas interpret mode is slow)
+MASTER_KERNEL = None
 
 
-def _master_solve(master, dM, rhs, nx):
+def _master_kernel():
+    if MASTER_KERNEL is not None:
+        return MASTER_KERNEL
+    return "thomas" if K_.lu_dtype() == jnp.float32 else "cr"
+
+
+def _master_solve(master, dM, rhs, nx, kernel=None):
     """Master solve: f64 CR (exact) or f32 Pallas Thomas + refinement."""
-    if MASTER_KERNEL == "thomas" and nx <= thomas_pallas.MAX_BLOCK:
+    if (kernel or _master_kernel()) == "thomas" \
+            and nx <= thomas_pallas.MAX_BLOCK:
         Sm, Um = master
         r = dM * rhs
         x = thomas_pallas.thomas_solve(Sm, Um, r)
@@ -154,11 +164,31 @@ class PartitionedKKT:
     #: hqp_tpu.qp.kkt.refine on shard_map inside While)
     refine_unroll = False
 
-    def __init__(self, L: int = 16, refine_eps: float = 1e-10,
-                 refine_rounds: int = 8, dual_reg: float | None = None):
+    def __init__(self, L: int = 16, refine_eps: float = 3e-7,
+                 refine_rounds: int = 4, dual_reg: float | None = None,
+                 reg_corr_rounds: int = 2, master: str | None = None,
+                 gj: str | None = None):
+        # refine_eps sits just above the measured base-solve floor after
+        # the analytic regularization corrections (~1.4e-7 on the
+        # did1000 bench with the f32 factor path): at benign IP iterates
+        # the true-residual loop exits at its ENTRY check (one residual
+        # evaluation), while late-barrier iterates with larger residual
+        # scales still get up to refine_rounds monotone-guarded rounds.
         self.L = L
         self.refine_eps = refine_eps
         self.refine_rounds = refine_rounds
+        self.reg_corr_rounds = reg_corr_rounds
+        # master kernel override: None = resolve by backend (thomas on
+        # TPU).  Pass "cr" for BATCHED (vmapped) use: a vmapped Pallas
+        # Thomas lifts the batch into the grid and serializes (measured:
+        # the 256-scenario batch went 0.6 s -> 18.7 s), while CR is
+        # batched einsums and vmaps for free.
+        self.master = master
+        # interior-inverse kernel override: None = Pallas GJ on TPU;
+        # "xla" = batched f32 jnp.linalg.inv.  Like the master, the
+        # Pallas kernel SERIALIZES under vmap (batch lifted into the
+        # grid); batched-scenario users should pass gj="xla".
+        self.gj = gj
         # Dual regularization +delta I on the interior multiplier block:
         # uncontrollable carry-through state chains (e.g. a free-final-time
         # parameter state, odc/Prg_Crane.C's x[0]) make the interior
@@ -184,7 +214,8 @@ class PartitionedKKT:
     # set at construction and never mutated.
     def _config(self):
         return (type(self), self.L, self.refine_eps, self.refine_rounds,
-                self.dual_reg)
+                self.dual_reg, self.reg_corr_rounds, self.master,
+                self.gj)
 
     def __hash__(self):
         return hash(self._config())
@@ -454,7 +485,8 @@ class PartitionedKKT:
         # refinement's contraction is governed by delta alone.
         # the Pallas kernel is f32-only; on f64 backends (CPU) the plain
         # f64 inverse is both exact and supported, so use it there
-        use_pallas = (K_.lu_dtype() == jnp.float32
+        use_pallas = (self.gj != "xla"
+                      and K_.lu_dtype() == jnp.float32
                       and gj_pallas.fits_vmem(P, s, 2 * nx))
         if use_pallas:
             Minv, _, _ = gj_pallas.interior_factor(MII_s, MIB_s)
@@ -473,7 +505,7 @@ class PartitionedKKT:
         return LuuK, KgainK, PKxx
 
     @staticmethod
-    def _master_build(Schur, Hb, PKxx, nx):
+    def _master_build(Schur, Hb, PKxx, nx, kernel=None):
         """Assemble + factor the boundary master block-tridiagonal system
         from the (full, gathered) per-partition Schur blocks."""
         D = -Hb
@@ -483,7 +515,8 @@ class PartitionedKKT:
         Off = Schur[:, :nx, nx:]                 # couples x_p to x_{p+1}
 
         Sm, Um, dM = blocktri.equilibrate(-D, -Off)
-        if MASTER_KERNEL == "thomas" and nx <= thomas_pallas.MAX_BLOCK:
+        if (kernel or _master_kernel()) == "thomas" \
+                and nx <= thomas_pallas.MAX_BLOCK:
             # single-launch Pallas block-Thomas: factor+solve fused per
             # application, so factor-time master work vanishes
             master = (Sm, Um)
@@ -504,7 +537,8 @@ class PartitionedKKT:
         # Schur in f64 from the inner-refined W: the master must be
         # assembled to f64 accuracy or it loses positive definiteness
         Schur = -jnp.einsum("psb,psc->pbc", MIB, W)   # [P, 2nx, 2nx]
-        master, dM = self._master_build(Schur, Hb, PKxx, nx)
+        master, dM = self._master_build(Schur, Hb, PKxx, nx,
+                                        kernel=self.master)
         return PartFactors(Minv=Minv, Dscale=Dd, MII=MII_s, W=W, MIB=MIB,
                            master=master, dM=dM, LuuK=LuuK, KgainK=KgainK)
 
@@ -563,7 +597,8 @@ class PartitionedKKT:
         rhoB = rhoB.at[:-1].add(-corr[:, :nx])
         rhoB = rhoB.at[1:].add(-corr[:, nx:])
 
-        xB = _master_solve(fac.master, fac.dM, -rhoB, nx)
+        xB = _master_solve(fac.master, fac.dM, -rhoB, nx,
+                           kernel=self.master)
 
         # back-substitute interiors (batched)
         xpair = jnp.concatenate([xB[:-1], xB[1:]], axis=1)   # [P, 2nx]
@@ -577,6 +612,15 @@ class PartitionedKKT:
              jnp.concatenate([xB[-1], duK])[None]], axis=0)
         return dx, dy.reshape(P * L, nx)
 
+    # analytic dual-regularization correction rounds (reg_corr_rounds):
+    # the base solve's dominant error is EXACTLY the +delta I perturbation
+    # on the interior dynamics rows (measured: the entire 3.8e-5 base
+    # residual of the did1000 bench sits in e2[dyn] as delta * dy), so
+    # instead of paying a full 4x4 residual evaluation per refinement
+    # round, re-solve on the KNOWN residual r2_dyn = delta * y -- same
+    # geometric contraction (~1/25 per round, delta-governed), no
+    # residual eval.  The true-residual refine loop still runs afterwards
+    # as the correctness gate (it usually terminates at its entry check).
     def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
         def base(a1, a2, a3, a4):
             return K_.stage_base_solve(
@@ -584,6 +628,22 @@ class PartitionedKKT:
                 qp, z, w, mask, a1, a2, a3, a4)
 
         sol = base(r1, r2, r3, r4)
+        delta = self._dual_reg()
+        zero1 = jnp.zeros_like(r1)
+        zero3 = mk.fill(r3, 0.0)
+        # Neumann series in the regularization: after correcting with c,
+        # the remaining true residual is delta * (c's own y-part) -- NOT
+        # delta * (accumulated y); feeding the accumulated y re-adds the
+        # original error (measured: res bounced straight back)
+        ylast = sol[1]
+        for _ in range(self.reg_corr_rounds):
+            dx, dy, dz, dw = sol
+            r2c = {k: (delta * v if k == "dyn" else jnp.zeros_like(v))
+                   for k, v in ylast.items()}
+            cx, cy, cz, cw = base(zero1, r2c, zero3, zero3)
+            sol = (dx + cx, mk.add(dy, cy), mk.add(dz, cz),
+                   mk.add(dw, cw))
+            ylast = cy
         if self.refine_rounds > 0:
             sol = K_.refine(base, qp, z, w, mask, r1, r2, r3, r4, sol,
                             eps=self.refine_eps,

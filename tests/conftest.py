@@ -21,6 +21,12 @@ import subprocess
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA:CPU AOT cache loads spew error-level "machine feature mismatch"
+# warnings for its own prefer-no-scatter/gather pseudo-features even for
+# same-machine entries (upstream cosmetic bug); the compile-cache buckets
+# are already keyed by a real host-CPU fingerprint (hqp_tpu/__init__.py),
+# so silence the log noise in test runs only.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -17,7 +17,7 @@ import pytest
 import hqp_tpu
 from hqp_tpu.docp.program import Docp
 from hqp_tpu.models.did import PrgDID
-from hqp_tpu.qp.kkt import RiccatiKKT
+from hqp_tpu.qp.kkt import FullStageKKT, RiccatiKKT
 from hqp_tpu.qp.kkt_partitioned import PartitionedKKT
 from hqp_tpu.sqp.powell import SqpPowell
 
@@ -90,8 +90,8 @@ class PrgRing(Docp):
         return jnp.array([x[0] ** 2 + x[1] ** 2])
 
 
-@pytest.mark.parametrize("backend", [None, RiccatiKKT()],
-                         ids=["SpSC", "LQDOCP"])
+@pytest.mark.parametrize("backend", [None, RiccatiKKT(), FullStageKKT()],
+                         ids=["SpSC", "LQDOCP", "FullKKT"])
 def test_nonlinear_equality_exact(backend):
     prg = PrgRing(kmax=10)
     s = SqpPowell(prg, kkt_backend=backend, max_iters=60, eps=1e-7)
