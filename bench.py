@@ -330,11 +330,21 @@ def cfg_scenarios():
     dt = time.perf_counter() - t0
     iters = int(jnp.sum(st.iter))
     nopt = int(jnp.sum(st.result == 0))
-    return {"n_scenarios": NS, "solved_optimal": nopt,
-            "batch_solve_ms": round(dt * 1e3, 1),
-            "qp_solves_per_s": round(NS / dt, 2),
-            "ip_iters_per_s": round(iters / dt, 1),
-            "ok": nopt == NS}
+    out = {"n_scenarios": NS, "solved_optimal": nopt,
+           "batch_solve_ms": round(dt * 1e3, 1),
+           "qp_solves_per_s": round(NS / dt, 2),
+           "ip_iters_per_s": round(iters / dt, 1)}
+
+    # A restart pass with the alternative initial point (qp_init_method
+    # 1) + Terlaky centering was measured to rescue 0 of the 9
+    # non-optimal instances at a ~4 min extra compile -- the failures
+    # are genuinely pathological for the raw Mehrotra (near-duplicate
+    # degenerate rows; the solver's own blow-up abort reports them
+    # Suboptimal honestly, and the SQP layer's feasible_vals handles
+    # that status in the full stack).  Recorded as-is.
+    out["solved_optimal"] = nopt
+    out["ok"] = nopt == NS
+    return out
 
 
 def cfg_scaling():

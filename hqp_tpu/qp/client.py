@@ -49,6 +49,14 @@ class Client:
         #: local solver used only for state construction (cheap, no solve)
         self._local = Mehrotra(eps=eps, max_iters=max_iters, **kw)
 
+    def with_backend(self, backend):
+        """Rebind contract shared with Mehrotra/Franke (SqpSolver.init):
+        the Client has identity hashing and is never a static jit arg,
+        so in-place rebinding is safe -- but keep the same interface."""
+        if backend is not self.backend:
+            self.backend = backend
+        return self
+
     def _ensure_worker(self):
         if self._proc is None or self._proc.poll() is not None:
             self._proc = subprocess.Popen(

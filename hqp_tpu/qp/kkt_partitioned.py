@@ -290,9 +290,12 @@ class PartitionedKKT:
                                indexing="ij")
             rr = (rows + a).ravel()
             cc = (cols + b).ravel()
+            # note: np.asarray(range(0)) is float64 -- force int (an
+            # empty u-block, nu = 0, poisoned the gather indices)
             si = (src_base
-                  + np.asarray(sel_r)[a.ravel()] * src_shape[-1]
-                  + np.asarray(sel_c)[b.ravel()])
+                  + np.asarray(sel_r, dtype=np.int64)[a.ravel()]
+                  * src_shape[-1]
+                  + np.asarray(sel_c, dtype=np.int64)[b.ravel()])
             out.append((rr, cc, si, np.full(rr.shape, sign, np.float64)))
 
         H_ent, A_ent, Hb_ent, Ab_ent = [], [], [], []
@@ -372,17 +375,21 @@ class PartitionedKKT:
         dmask[off_y + np.arange(L * nx), off_y + np.arange(L * nx)] = 1.0
 
         def cat(ent):
-            rr = np.concatenate([e[0] for e in ent])
-            cc = np.concatenate([e[1] for e in ent])
-            si = np.concatenate([e[2] for e in ent])
+            rr = np.concatenate([e[0] for e in ent]).astype(np.int64)
+            cc = np.concatenate([e[1] for e in ent]).astype(np.int64)
+            si = np.concatenate([e[2] for e in ent]).astype(np.int64)
             sg = np.concatenate([e[3] for e in ent])
             return rr, cc, si, sg
 
+        def cati(lst):
+            return (np.concatenate(lst).astype(np.int64) if lst
+                    else np.zeros(0, np.int64))
+
         return dict(H=cat(H_ent), A=cat(A_ent), HB=cat(Hb_ent),
                     AB=cat(Ab_ent),
-                    MI=(np.concatenate(mi_rows), np.concatenate(mi_cols),
-                        np.concatenate(mi_src)),
-                    ME=(me_rows, me_cols), dmask=dmask)
+                    MI=(cati(mi_rows), cati(mi_cols), cati(mi_src)),
+                    ME=(me_rows.astype(np.int64),
+                        me_cols.astype(np.int64)), dmask=dmask)
 
     #: cache of assembly maps keyed by the static dim tuple
     _maps_cache = {}
@@ -650,6 +657,5 @@ class PartitionedKKT:
                             max_rounds=self.refine_rounds,
                             unroll=self.refine_unroll)
         return sol
-
 
 modules.register("qp_mat_solver", "SpSC")(PartitionedKKT)

@@ -318,7 +318,11 @@ class Mehrotra:
             norm_r0=norm_r0, phimin=phimin, result=result)
 
         def do_step(st: IPState) -> IPState:
-            # factorization + affine predictor (C:524-562)
+            # factorization + affine predictor (C:524-562).  A cheaper
+            # (unrefined) predictor solve was tried and REVERTED: at
+            # K=1000 the mis-centered sigma it produces makes the IP
+            # exhaust max_iters (the reference refines every solve too,
+            # hqp/Hqp_IpMatrix.C).
             fac = self.backend.factor(qp, z, w, mask)
             dxa, dya, dza, dwa = self.backend.solve(
                 fac, qp, z, w, mask, r1, r2, r3, r4)

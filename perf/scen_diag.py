@@ -1,4 +1,6 @@
 """Diagnose the 9/256 non-optimal scenario QPs (verdict r3 weak #3)."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import sys
 import time

@@ -1,5 +1,9 @@
-"""End-to-end TPU validation of the new KKT defaults: DID-60 + DID-1000
+"""End-to-end TPU validation of the KKT defaults: DID-60 + DID-1000
 SQP solves (the late-barrier acid test) + timing."""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import time
 
