@@ -78,16 +78,24 @@ class Docp:
         Return None (default) to keep identity semantics."""
         return None
 
+    #: bumped (to a globally unique value) by the shell on any in-place
+    #: knob write: a mutated instance must stop matching the trace-cache
+    #: entries of its constructor config (attributes mutated after
+    #: construction are NOT covered by _static_config; advisor r4)
+    _trace_nonce = 0
+
     def __hash__(self):
         c = self._static_config()
-        return object.__hash__(self) if c is None else hash((type(self), c))
+        return object.__hash__(self) if c is None else \
+            hash((type(self), c, self._trace_nonce))
 
     def __eq__(self, other):
         c = self._static_config()
         if c is None:
             return self is other
         return type(other) is type(self) and \
-            other._static_config() == c
+            other._static_config() == c and \
+            other._trace_nonce == self._trace_nonce
 
     def f(self, k, x, u):
         raise NotImplementedError

@@ -190,16 +190,21 @@ def solve_generated(name: str, n: int = 1000, eps: float = 1e-6,
     Returns a summary dict (used by bench.py config 3 and the large-NLP
     tests)."""
     from hqp_tpu.qp import mehrotra as ip
-    from hqp_tpu.qp.kkt_sparse_host import SparseHostKKT
+    from hqp_tpu.qp.kkt_sparse_host import SparseCallbackKKT
     from hqp_tpu.sqp.powell import SqpPowell
     from hqp_tpu.sqp import hessian  # noqa: F401  (registers hela slots)
 
     prg = FAMILIES[name](n=n)
     kw = {"hela": modules.create("sqp_hela",
                                  hela or FAMILY_HELA.get(name, "BFGS"))}
+    # jit=True + the pure_callback sparse backend: the IP loop compiles
+    # once and runs as a device while_loop; each iteration pays one host
+    # factor callback (cached symbolic, native LDL) + solve callbacks.
+    # The jit=False + SparseHostKKT combination cost ~17 s on lqblend
+    # n=2000 in eager dispatch/mini-compiles alone (bench r4 config 3).
     s = SqpPowell(prg, max_iters=max_iters, eps=eps,
-                  qp_solver=ip.Mehrotra(eps=1e-9, max_iters=60, jit=False),
-                  kkt_backend=SparseHostKKT(), **kw)
+                  qp_solver=ip.Mehrotra(eps=1e-9, max_iters=60),
+                  kkt_backend=SparseCallbackKKT(), **kw)
     s.init()
     result = s.solve()
     return {"problem": name, "n": prg.n, "m": prg.m, "result": result,

@@ -27,6 +27,20 @@ from hqp_tpu.ops import smalllin as sl
 from hqp_tpu.utils.registry import modules
 
 
+def _nan_unless_reached(t, t1, span, xs):
+    """Poison a truncated adaptive integration with NaN.
+
+    An adaptive loop that exhausts ``max_steps`` (or whose step controller
+    drives h to the clip floor) exits with t < t1; silently returning the
+    partial state would corrupt objective/constraint values and their
+    gradients with no signal.  NaN propagates into the SQP layer's
+    finite-checks, which handle it as a failed model evaluation -- the
+    same contract as the reference's DASPK/ros4 IDID/KFLAG failure codes
+    (omu/Omu_IntDASPK.C error return; Omu_IntGRK4's m_error on KFLAG<0)."""
+    reached = t >= t1 - 1e-10 * jnp.abs(span) - 1e-300
+    return jnp.where(reached, xs, jnp.nan)
+
+
 class Integrator:
     """Base integrator (Omu_Integrator analog).
 
@@ -159,7 +173,7 @@ class _EmbeddedRK(Integrator):
 
         h0 = jnp.where(self.stepsize > 0.0, self.stepsize, span / 10.0)
         t, xs, h, n = jax.lax.while_loop(cond, body, (t0, x, h0, 0))
-        return xs
+        return _nan_unless_reached(t, t1, span, xs)
 
 
 @modules.register("prg_integrator", "Dopri5")
@@ -340,8 +354,8 @@ class GRK4Adaptive(GRK4):
                     jnp.where(accept, xn, xs), h * fac, n + 1)
 
         h0 = jnp.where(self.stepsize > 0.0, self.stepsize, span / 4.0)
-        _, xs, _, _ = jax.lax.while_loop(cond, body, (t0, x, h0, 0))
-        return xs
+        t, xs, _, _ = jax.lax.while_loop(cond, body, (t0, x, h0, 0))
+        return _nan_unless_reached(t, t1, span, xs)
 
 
 # Alexander's 3-stage, 3rd-order, L-stable, stiffly accurate SDIRK
@@ -578,8 +592,8 @@ class IMPAdaptive(IMP):
                     jnp.where(accept, x2 + diff, xs), h * fac, n + 1)
 
         h0 = jnp.where(self.stepsize > 0.0, self.stepsize, span / 4.0)
-        _, xs, _, _ = jax.lax.while_loop(cond, body, (t0, x, h0, 0))
-        return xs
+        t, xs, _, _ = jax.lax.while_loop(cond, body, (t0, x, h0, 0))
+        return _nan_unless_reached(t, t1, span, xs)
 
     def _imp_step(self, F, kk, t, xs, u, h):
         tm = t + 0.5 * h
@@ -652,9 +666,9 @@ class BDFAdaptive(BDF):
                     h * fac,
                     jnp.where(accept, h, hp), n + 1)
 
-        _, _, xK, _, _, _ = jax.lax.while_loop(
+        t, _, xK, _, _, _ = jax.lax.while_loop(
             cond, body, (t0 + hs, x, x1, hs, hs, 0))
-        return xK
+        return _nan_unless_reached(t, t1, span, xK)
 
 
 @modules.register("prg_integrator", "BDFVarOrder")
@@ -805,8 +819,8 @@ class BDFVarOrder(BDF):
 
 
     def solve(self, F, kk, t0, t1, x, u):
-        _, X, _, _, _, _, _ = self._run(F, kk, t0, t1, x, u)
-        return X[3]
+        t, X, _, _, _, _, _ = self._run(F, kk, t0, t1, x, u)
+        return _nan_unless_reached(t, t1, t1 - t0, X[3])
 
     def solve_stats(self, F, kk, t0, t1, x, u):
         """(x(t1), attempted steps, final order) -- test/diagnostic hook

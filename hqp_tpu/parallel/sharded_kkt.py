@@ -23,16 +23,19 @@ Correctness vs the single-device PartitionedKKT: tests/test_sharded_kkt.py
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as Ps
 
-from hqp_tpu.qp.program import StageQP
+from hqp_tpu.qp.program import StageQP, IneqGroups
+from hqp_tpu.qp import kkt as K_
 from hqp_tpu.qp.kkt_partitioned import (
     PartitionedKKT, PartFactors, _interior_apply, _master_solve)
 from hqp_tpu.ops import smalllin as sl
+from hqp_tpu.utils import masked as mk
 from hqp_tpu.utils.registry import modules
 
 
@@ -44,7 +47,7 @@ class ShardedPartitionedKKT(PartitionedKKT):
     refine_unroll = True
 
     def __init__(self, mesh: Mesh, axis: str = "sp", L: int = 16,
-                 refine_rounds: int = 4, **kw):
+                 refine_rounds: int = 4, full_shard: bool = True, **kw):
         # block-Thomas is a Pallas kernel; inside shard_map keep the
         # einsum-based cyclic reduction (vmap/shard-friendly)
         kw.setdefault("master", "cr")
@@ -52,9 +55,14 @@ class ShardedPartitionedKKT(PartitionedKKT):
         self.mesh = mesh
         self.axis = axis
         self.ndev = mesh.shape[axis]
+        #: full_shard=True runs the ENTIRE solve inside one shard_map
+        #: (no replicated O(K) stage work); False keeps the round-4
+        #: layering (replicated stage work around shard_map'd
+        #: solve_reduced calls) as a fallback/AB reference
+        self.full_shard = full_shard
 
     def _config(self):
-        return super()._config() + (self.mesh, self.axis)
+        return super()._config() + (self.mesh, self.axis, self.full_shard)
 
     # -- layout: P must divide evenly over the devices ------------------------
 
@@ -174,6 +182,320 @@ class ShardedPartitionedKKT(PartitionedKKT):
             [vfull.reshape(P * L, nv),
              jnp.concatenate([xB[-1], duK])[None]], axis=0)
         return dx, dy.reshape(P * L, nx)
+
+    # -- fully-sharded solve (round 5) ----------------------------------------
+    # The parent's solve() ran stage_base_solve, the analytic regularization
+    # corrections and the refinement loop on REPLICATED [K1] stage arrays
+    # around shard_map'd solve_reduced calls -- the ~30% replicated Amdahl
+    # fraction PERF.md section 4 admitted (verdict r3 item 6 / r4 item 2).
+    # Here the ENTIRE solve executes inside ONE shard_map: each device owns
+    # the stage rows of its partitions plus ONE halo row (the right
+    # neighbor's first stage; the true terminal stage on the last device),
+    # so every per-stage operation runs verbatim on a local StageQP view of
+    # Kloc = P*L/ndev stages.  Neighbor couplings (the -I state transition
+    # and its adjoint) are one-row ppermute halos; the boundary master
+    # stays replicated; residual norms are local masked maxima + one pmax.
+    # Communication per solve: the boundary psum-gathers (O(P nx), horizon-
+    # independent) + a few single-row halos + scalar pmax -- nothing O(K).
+
+    def _perm_from_right(self):
+        """ppermute spec fetching the RIGHT neighbor's value (i+1 -> i)."""
+        return [(i + 1, i) for i in range(self.ndev - 1)]
+
+    def _perm_from_left(self):
+        return [(i, i + 1) for i in range(self.ndev - 1)]
+
+    def _halo_append(self, body, term, last):
+        """[Kloc, ...] -> [Kloc + 1, ...]: append the right neighbor's
+        first row (the replicated terminal row on the last device).  For
+        static data and per-stage-computed iterates the halo row is VALID
+        by construction: it equals what its owner computes for that row."""
+        first = body[0]
+        isb = first.dtype == jnp.bool_
+        send = first.astype(jnp.uint8) if isb else first
+        recv = jax.lax.ppermute(send, self.axis, self._perm_from_right())
+        if isb:
+            recv = recv.astype(jnp.bool_)
+        hrow = jnp.where(last, term, recv)
+        return jnp.concatenate([body, hrow[None]], axis=0)
+
+    def _term_row(self, arr_loc, last):
+        """Replicated terminal row from the last device's (valid) halo."""
+        row = arr_loc[-1]
+        return jax.lax.psum(
+            jnp.where(last, row, jnp.zeros_like(row)), self.axis)
+
+    def _eqT_local(self, qp_loc, y, idx):
+        """matvec_eqT on the local view, plus the left-neighbor coupling:
+        global stage row p0 (local row 0) receives -y_dyn of the LEFT
+        device's last dynamics row (the -I adjoint crossing the device
+        boundary); one nx-row ppermute."""
+        out = qp_loc.matvec_eqT(y)
+        ylast = y["dyn"][-1]
+        yprev = jax.lax.ppermute(ylast, self.axis, self._perm_from_left())
+        add = jnp.where(idx > 0, -yprev, jnp.zeros_like(yprev))
+        return out.at[0, : qp_loc.nx].add(add)
+
+    def _kkt_residual_local(self, qp_loc, z, w, mask, r1, r2, r3, r4,
+                            dx, dy, dz, dw, idx, last, own):
+        """kkt_residual on the local view; ``res`` is the GLOBAL masked
+        infinity norm (local max over owned rows, then pmax).  ``own``
+        masks the halo row off except on the last device (where it is the
+        genuine terminal stage)."""
+        emask = qp_loc.eq_mask()
+        e1 = jnp.where(
+            qp_loc.x_mask(),
+            r1 + qp_loc.matvec_Q(dx) - self._eqT_local(qp_loc, dy, idx)
+            - qp_loc.matvec_ineqT(dz), 0.0)
+        Adx = mk.sub(qp_loc.eval_eq(dx), qp_loc.eq_offsets())
+        e2 = mk.where(emask, mk.sub(r2, Adx), 0.0)
+        Cdx = qp_loc.matvec_ineq(dx)
+        e3 = mk.where(mask, mk.tmap(lambda a, b, c: a - (b - c),
+                                    r3, Cdx, dw), 0.0)
+        e4 = mk.where(mask,
+                      mk.tmap(lambda a, zi, wi, dzi, dwi:
+                              a - (zi * dwi + wi * dzi),
+                              r4, z, w, dz, dw), 0.0)
+
+        def omax(tree):
+            out = jnp.asarray(0.0)
+            for leaf in jax.tree_util.tree_leaves(tree):
+                a = jnp.abs(leaf)
+                o = own[: a.shape[0]].reshape(
+                    (a.shape[0],) + (1,) * (a.ndim - 1))
+                a = jnp.where(o, a, 0.0)
+                if a.size:
+                    out = jnp.maximum(out, jnp.max(a))
+            return out
+
+        res_loc = jnp.maximum(omax(e1), jnp.maximum(
+            omax(e2), jnp.maximum(omax(e3), omax(e4))))
+        res = jax.lax.pmax(res_loc, self.axis)
+        return e1, e2, e3, e4, res
+
+    def _reduced_solve_local(self, dims, qp_loc, fac_l, g2, r2dyn,
+                             idx, last):
+        """Reduced saddle solve on the local view: local interiors +
+        replicated boundary master.  Returns (dx [Kloc+1] with valid halo
+        everywhere, dy_dyn [Kloc])."""
+        L, s, nx, nu, nv, offs = dims
+        Minv, Dd, MII, W, MIB, master, dM, LuuK, KgainK = fac_l
+        gx, gu = g2[:, :nx], g2[:, nx:]
+        gsp = g2[:-1].reshape(-1, L, nv)
+        r2p = r2dyn.reshape(-1, L, nx)
+        Pl = gsp.shape[0]
+        rhoI = self._rhs_partitions(gsp, r2p, dims)
+        t = _interior_apply((Minv, Dd, MII), rhoI)
+        corr_l = jnp.einsum("psb,ps->pb", MIB, t)
+        corr = self._gather_replicated(corr_l)            # [P, 2nx]
+        # boundary rhs: partition-start rows live at local rows 0, L, ...;
+        # the terminal row comes from the last device's halo (valid there)
+        gxs = self._gather_replicated(gx[:-1][::L])       # [P, nx]
+        gT = jax.lax.psum(
+            jnp.where(last, g2[-1], jnp.zeros_like(g2[-1])), self.axis)
+        rhoB_T = gT[:nx] - KgainK.T @ gT[nx:]
+        rhoB = jnp.concatenate([gxs, rhoB_T[None]], axis=0)
+        rhoB = rhoB.at[:-1].add(-corr[:, :nx])
+        rhoB = rhoB.at[1:].add(-corr[:, nx:])
+        xB = _master_solve(master, dM, -rhoB, nx, kernel=self.master)
+
+        i0 = idx * Pl
+        xs = jax.lax.dynamic_slice_in_dim(xB, i0, Pl + 1, axis=0)
+        xpair = jnp.concatenate([xs[:-1], xs[1:]], axis=1)
+        u0, vint, dyd = self._backsub(W, dims, t, xpair)
+        vfull = jnp.concatenate(
+            [jnp.concatenate([xs[:-1], u0], axis=1)[:, None, :], vint],
+            axis=1)                                       # [Pl, L, nv]
+        duK = -(sl.cho_solve(LuuK, gT[nx:]) + KgainK @ xB[-1])
+        dx_term = jnp.concatenate([xB[-1], duK])          # replicated [nv]
+        dx = self._halo_append(vfull.reshape(-1, nv), dx_term, last)
+        return dx, dyd.reshape(-1, nx)
+
+    def _recover_local(self, qp_loc, z, w, mask, g, dx, dyd,
+                       r2, r3, r4, idx):
+        """K_.stage_recover on the local view (left-halo fix on the eqT
+        adjoint).  Halo validity: every output's halo row is valid
+        wherever its per-stage inputs' halos are; dy['fix']'s halo is
+        valid on the LAST device only."""
+        fm = qp_loc.fixed_mask()
+        Hdx = K_.reduced_H_matvec(qp_loc, z, w, mask, dx)
+        y0 = {"dyn": dyd, "fix": jnp.zeros_like(g)}
+        if qp_loc.has_gen_eq():
+            y0["gen"] = jnp.zeros_like(r2["gen"])
+        resid = g + Hdx - self._eqT_local(qp_loc, y0, idx)
+        dy = {"dyn": dyd}
+        if qp_loc.has_gen_eq():
+            dyg = K_._recover_gen_multipliers(qp_loc, resid)
+            resid = resid - jnp.einsum(
+                "kij,ki->kj", qp_loc.E * qp_loc.eqg_mask[:, :, None], dyg)
+            dy["gen"] = dyg
+        dy["fix"] = jnp.where(fm, resid, 0.0)
+        dz, dw = K_.recover_zw(qp_loc, z, w, mask, dx, r3, r4)
+        return dx, dy, dz, dw
+
+    def _base_solve_local(self, dims, qp_loc, fac_l, z, w, mask,
+                          r1, r2, r3, r4, idx, last):
+        """Full base solve + reduced-space Neumann corrections + single
+        recovery on the local view (the lean structure of
+        kkt_partitioned.PartitionedKKT.solve's ``full``)."""
+        fm = qp_loc.fixed_mask()
+        g = K_.reduce_r1(qp_loc, z, w, mask, r1, r3, r4)
+        g2 = g - K_.FIX_BIG * jnp.where(fm, r2["fix"], 0.0)
+        if qp_loc.has_gen_eq():
+            rg = jnp.where(qp_loc.eqg_mask, r2["gen"], 0.0)
+            g2 = g2 - K_.FIX_BIG * jnp.einsum("kij,ki->kj", qp_loc.E, rg)
+        dx, dyd = self._reduced_solve_local(dims, qp_loc, fac_l, g2,
+                                            r2["dyn"], idx, last)
+        delta = self._dual_reg()
+        ylast = dyd
+        for _ in range(self.reg_corr_rounds):
+            cx, cyd = self._reduced_solve_local(
+                dims, qp_loc, fac_l, jnp.zeros_like(g2), delta * ylast,
+                idx, last)
+            dx, dyd, ylast = dx + cx, dyd + cyd, cyd
+        return self._recover_local(qp_loc, z, w, mask, g, dx, dyd,
+                                   r2, r3, r4, idx)
+
+    def _full_solve_body(self, dims, shard, rep):
+        idx = jax.lax.axis_index(self.axis)
+        last = idx == self.ndev - 1
+        halo = lambda b, t: self._halo_append(b, t, last)
+        grp = lambda tb, tt: jax.tree_util.tree_map(halo, tb, tt)
+
+        qs, qr = shard["qp"], rep["qp"]
+        loc = {f: halo(qs[f], qr[f]) for f in qs if f not in ("A", "b")}
+        qp_loc = StageQP(A=qs["A"], b=qs["b"], **loc)
+        z = grp(shard["z"], rep["z"])
+        w = grp(shard["w"], rep["w"])
+        mask = grp(shard["mask"], rep["mask"])
+        r1 = halo(shard["r1"], rep["r1"])
+        r3 = grp(shard["r3"], rep["r3"])
+        r4 = grp(shard["r4"], rep["r4"])
+        r2 = {"dyn": shard["r2dyn"], "fix": halo(shard["r2fix"],
+                                                 rep["r2fix"])}
+        if "r2gen" in shard:
+            r2["gen"] = halo(shard["r2gen"], rep["r2gen"])
+        fac_l = shard["fac"] + rep["fac"]
+
+        def base(a1, a2, a3, a4):
+            return self._base_solve_local(dims, qp_loc, fac_l, z, w, mask,
+                                          a1, a2, a3, a4, idx, last)
+
+        sol = base(r1, r2, r3, r4)
+
+        Kloc = qp_loc.K
+        own = (jnp.arange(Kloc + 1) < Kloc) | last
+        if self.refine_rounds > 0:
+            # unrolled true-residual refinement (hqp_tpu.qp.kkt.refine
+            # semantics: entry check + monotone guard), with the global
+            # residual norm from one pmax per round
+            dx, dy, dz, dw = sol
+            e1, e2, e3, e4, res = self._kkt_residual_local(
+                qp_loc, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw,
+                idx, last, own)
+            go = jnp.asarray(True)
+            # relative tolerance (K_.refine relative=True semantics):
+            # local masked max of the rhs over owned rows, then pmax
+            def _oscale(arr, valid):
+                a = jnp.where(valid, jnp.abs(arr), 0.0)
+                o = own[: a.shape[0]].reshape(
+                    (a.shape[0],) + (1,) * (a.ndim - 1))
+                return jnp.max(jnp.where(o, a, 0.0)) if a.size else 0.0
+
+            sc = _oscale(r1, qp_loc.x_mask())
+            for tree, tmask in ((r2, qp_loc.eq_mask()), (r3, mask),
+                                (r4, mask)):
+                for le, lm in zip(jax.tree_util.tree_leaves(tree),
+                                  jax.tree_util.tree_leaves(tmask)):
+                    sc = jnp.maximum(sc, _oscale(le, lm))
+            sc = jax.lax.pmax(sc, self.axis)
+            eps = self._refine_eps() * jnp.maximum(1.0, sc)
+            for _ in range(self.refine_rounds):
+                cx, cy, cz, cw = base(e1, e2, e3, e4)
+                n_sol = (dx + cx, mk.add(dy, cy), mk.add(dz, cz),
+                         mk.add(dw, cw))
+                ne1, ne2, ne3, ne4, nres = self._kkt_residual_local(
+                    qp_loc, z, w, mask, r1, r2, r3, r4, *n_sol,
+                    idx, last, own)
+                better = go & (res > eps) & (nres < res)
+
+                def keep(new, old):
+                    return jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(better, a, b), new, old)
+
+                dx, dy, dz, dw = keep(n_sol, (dx, dy, dz, dw))
+                e1, e2, e3, e4 = keep((ne1, ne2, ne3, ne4),
+                                      (e1, e2, e3, e4))
+                res = jnp.where(better, nres, res)
+                go = better
+            sol = (dx, dy, dz, dw)
+
+        dx, dy, dz, dw = sol
+        tr = lambda a: self._term_row(a, last)
+        body = {"dx": dx[:-1], "dy_dyn": dy["dyn"],
+                "dy_fix": dy["fix"][:-1],
+                "dz": jax.tree_util.tree_map(lambda a: a[:-1], dz),
+                "dw": jax.tree_util.tree_map(lambda a: a[:-1], dw)}
+        term = {"dx": tr(dx), "dy_fix": tr(dy["fix"]),
+                "dz": jax.tree_util.tree_map(tr, dz),
+                "dw": jax.tree_util.tree_map(tr, dw)}
+        if "gen" in dy:
+            body["dy_gen"] = dy["gen"][:-1]
+            term["dy_gen"] = tr(dy["gen"])
+        return body, term
+
+    def solve(self, fac, qp: StageQP, z, w, mask, r1, r2, r3, r4):
+        if not self.full_shard:
+            return super().solve(fac, qp, z, w, mask, r1, r2, r3, r4)
+        L, P, dims = self._dims(qp)
+        bb = lambda a: a[:-1]
+        tt = lambda a: a[-1]
+        k1f = ["Q", "c", "lb", "ub", "C", "d_lo", "d_up", "var_mask",
+               "con_mask"]
+        if qp.has_gen_eq():
+            k1f += ["E", "e", "eqg_mask"]
+        shard = {
+            "qp": {**{f: bb(getattr(qp, f)) for f in k1f},
+                   "A": qp.A, "b": qp.b},
+            "z": jax.tree_util.tree_map(bb, z),
+            "w": jax.tree_util.tree_map(bb, w),
+            "mask": jax.tree_util.tree_map(bb, mask),
+            "r1": bb(r1), "r3": jax.tree_util.tree_map(bb, r3),
+            "r4": jax.tree_util.tree_map(bb, r4),
+            "r2dyn": r2["dyn"], "r2fix": bb(r2["fix"]),
+            "fac": (fac.Minv, fac.Dscale, fac.MII, fac.W, fac.MIB),
+        }
+        rep = {
+            "qp": {f: tt(getattr(qp, f)) for f in k1f},
+            "z": jax.tree_util.tree_map(tt, z),
+            "w": jax.tree_util.tree_map(tt, w),
+            "mask": jax.tree_util.tree_map(tt, mask),
+            "r1": tt(r1), "r3": jax.tree_util.tree_map(tt, r3),
+            "r4": jax.tree_util.tree_map(tt, r4),
+            "r2fix": tt(r2["fix"]),
+            "fac": (fac.master, fac.dM, fac.LuuK, fac.KgainK),
+        }
+        if qp.has_gen_eq():
+            shard["r2gen"] = bb(r2["gen"])
+            rep["r2gen"] = tt(r2["gen"])
+
+        body, term = jax.shard_map(
+            partial(self._full_solve_body, dims),
+            mesh=self.mesh,
+            in_specs=(Ps(self.axis), Ps()),
+            out_specs=(Ps(self.axis), Ps()),
+            check_vma=True,
+        )(shard, rep)
+
+        cat = lambda b_, t_: jnp.concatenate([b_, t_[None]], axis=0)
+        dx = cat(body["dx"], term["dx"])
+        dy = {"dyn": body["dy_dyn"],
+              "fix": cat(body["dy_fix"], term["dy_fix"])}
+        if "dy_gen" in body:
+            dy["gen"] = cat(body["dy_gen"], term["dy_gen"])
+        dz = jax.tree_util.tree_map(cat, body["dz"], term["dz"])
+        dw = jax.tree_util.tree_map(cat, body["dw"], term["dw"])
+        return dx, dy, dz, dw
 
     # -- sharded placement helper ---------------------------------------------
 

@@ -108,3 +108,171 @@ class SparseHostKKT:
 
 
 modules.register("qp_mat_solver", "RedSpBKP_host")(SparseHostKKT)
+
+
+class SparseCallbackKKT:
+    """JITTABLE host-sparse backend: the reference's factor-per-iteration /
+    structure-per-problem discipline (hqp/Hqp_IpRedSpBKP.C:281 ->
+    spBKP.C:369) behind ``jax.pure_callback``.
+
+    The eager ``SparseHostKKT`` + ``Mehrotra(jit=False)`` combination paid
+    ~17 s on the 2000-variable lqblend bench -- almost entirely JAX eager
+    dispatch and hundreds of per-primitive mini-compiles, not linear
+    algebra (measured: 292 XLA compile/loads ~ 17 s, LDL time invisible).
+    Here the whole Mehrotra iteration compiles ONCE (``jit=True``, on-device
+    ``lax.while_loop``); each iteration crosses to the host exactly twice:
+
+    * ``factor``: one callback carrying (Q, C, A, sig); the host assembles
+      the quasidefinite saddle in scipy CSR, projects it onto the CACHED
+      symbolic pattern (union pattern + RCM permutation + elimination tree,
+      computed once per problem structure), runs the native LDL' numeric
+      factorization into reused workspaces, and returns a token.
+    * ``solve``: one callback per rhs (g, r2) -> saddle solve; the token's
+      data-dependence orders it after its factorization.
+
+    Refinement runs unrolled in the traced program (residuals in JAX, one
+    solve callback per round).
+    """
+
+    def __init__(self, dual_reg: float = 1e-10, reg: float = 1e-12,
+                 refine_rounds: int = 3, use_rcm: bool = True):
+        self.dual_reg = dual_reg
+        self.reg = reg
+        self.refine_rounds = refine_rounds
+        self.use_rcm = use_rcm
+        self._sym = {}       # (n, me) -> symbolic record
+        self._token = 0
+        self._live = {}      # token -> SparseLDL (keep last 2)
+
+    # value-based identity (jit static-arg contract; see PartitionedKKT)
+    def _config(self):
+        return (type(self), self.dual_reg, self.reg, self.refine_rounds,
+                self.use_rcm, id(self))
+
+    def __hash__(self):
+        # id() participates: the host-side factor cache is per-instance
+        return hash(self._config())
+
+    def __eq__(self, other):
+        return self is other
+
+    # -- host side -----------------------------------------------------------
+
+    def _symbolic(self, key, pat):
+        """Symbolic record for a saddle PATTERN: explicit-zero pattern
+        holder, RCM permutation, data permutation map and the native LDL
+        handle (elimination-tree analysis) -- recomputed only when the
+        pattern changes (Hqp_IpRedSpBKP.C:281: structure once per
+        problem, factor once per iteration)."""
+        pat = sp.csr_matrix(pat)
+        pat.sort_indices()
+        pat0 = pat.copy()
+        pat0.data = np.zeros_like(pat0.data)
+
+        if self.use_rcm:
+            perm = rcm_order(pat.shape[0], pat.indptr, pat.indices)
+        else:
+            perm = np.arange(pat.shape[0])
+        T = pat.copy()
+        T.data = np.arange(pat.nnz, dtype=np.float64)
+        Tp = T[perm][:, perm].tocsr()
+        Tp.sort_indices()
+        data_map = Tp.data.astype(np.int64)
+        ldl = SparseLDL(Tp.shape[0], Tp.indptr, Tp.indices)
+        rec = dict(pat0=pat0, perm=np.asarray(perm), data_map=data_map,
+                   ldl=ldl, nnz=pat.nnz)
+        self._sym[key] = rec
+        return rec
+
+    def _host_factor(self, Q, C, A, sig):
+        n, me = Q.shape[0], A.shape[0]
+        key = (n, me)
+        Qs = sp.csr_matrix(Q)
+        Cs = sp.csr_matrix(C)
+        H = (Qs + Cs.T @ sp.diags([np.asarray(sig).ravel()], [0],
+                                  shape=(C.shape[0], C.shape[0])) @ Cs
+             ).tocsr()
+        if me:
+            As = sp.csr_matrix(A)
+            Knum = sp.bmat([[-H, As.T], [As, self.dual_reg * sp.eye(me)]],
+                           format="csr")
+        else:
+            Knum = sp.csr_matrix(-H)
+        rec = self._sym.get(key)
+        if rec is not None:
+            Kfull = (rec["pat0"] + Knum).tocsr()
+            Kfull.sort_indices()
+            if Kfull.nnz != rec["nnz"]:
+                # the pattern GREW (e.g. an exact-Hessian strategy filled
+                # new off-diagonals at a later SQP iterate): the cached
+                # data map would misindex -- rebuild the symbolic record
+                # from the union pattern
+                rec = None
+        if rec is None:
+            patn = Knum.copy()
+            patn.data = np.ones_like(patn.data)
+            old = self._sym.get(key)
+            if old is not None:
+                pat_old = old["pat0"].copy()
+                pat_old.data = np.ones_like(pat_old.data)
+                patn = (patn + pat_old).tocsr()
+            rec = self._symbolic(key, patn)
+            Kfull = (rec["pat0"] + Knum).tocsr()
+            Kfull.sort_indices()
+        data = Kfull.data[rec["data_map"]]
+        rec["ldl"].factor(data, reg=self.reg)
+        self._token += 1
+        self._live[self._token] = rec
+        # keep only the last two factorizations alive
+        for k in [k for k in self._live if k < self._token - 1]:
+            del self._live[k]
+        return np.int64(self._token)
+
+    def _host_solve(self, token, rhs):
+        rec = self._live.get(int(token))
+        if rec is None:  # stale token: re-entrant misuse
+            raise RuntimeError(
+                f"SparseCallbackKKT: no live factorization for token "
+                f"{int(token)} (live: {sorted(self._live)})")
+        p = rec["perm"]
+        sol = rec["ldl"].solve(np.asarray(rhs)[p])
+        out = np.empty_like(sol)
+        out[p] = sol
+        return out
+
+    # -- traced side ----------------------------------------------------------
+
+    def factor(self, qp: DenseQP, z, w, mask):
+        import jax
+        sig = K_.barrier_ratios(z, w, mask).g
+        A = qp.A * qp.eq_mask_[:, None].astype(qp.A.dtype)
+        token = jax.pure_callback(
+            self._host_factor,
+            jax.ShapeDtypeStruct((), jnp.int64),
+            qp.Q, qp.C, A, sig)
+        return token
+
+    def solve(self, fac, qp: DenseQP, z, w, mask, r1, r2, r3, r4):
+        import jax
+        n, me = qp.n, qp.me
+
+        def base(a1, a2, a3, a4):
+            g = K_.reduce_r1(qp, z, w, mask, a1, a3, a4)
+            rhs = jnp.concatenate([g, a2]) if me else g
+            sol = jax.pure_callback(
+                self._host_solve,
+                jax.ShapeDtypeStruct((n + me,), jnp.float64),
+                fac, rhs)
+            dx, dy = sol[:n], sol[n:]
+            dz, dw = K_.recover_zw(qp, z, w, mask, dx, a3, a4)
+            return dx, dy, dz, dw
+
+        sol = base(r1, r2, r3, r4)
+        if self.refine_rounds > 0:
+            sol = K_.refine(base, qp, z, w, mask, r1, r2, r3, r4, sol,
+                            eps=1e-10, max_rounds=self.refine_rounds,
+                            unroll=True, relative=False)
+        return sol
+
+
+modules.register("qp_mat_solver", "RedSpBKP")(SparseCallbackKKT)

@@ -98,6 +98,9 @@ class Mehrotra:
         #: jit=False runs eagerly -- required for host-callback backends
         #: (SparseHostKKT) whose factorizations live outside XLA
         self.jit = jit
+        #: unique-bumped by the shell on in-place knob writes (qp_eps ...)
+        #: so mutated instances stop matching stale trace-cache entries
+        self._trace_nonce = 0
 
     # Value-based identity so identically-configured solver instances share
     # jitted traces (the solver is a static argument of its own jitted
@@ -106,7 +109,8 @@ class Mehrotra:
     def _config(self):
         return (type(self), self.backend, self.eps, self.max_iters,
                 self.max_warm_iters, self.gammaf, self.init_method,
-                self.mod_terlaky, self.gondzio_correctors, self.jit)
+                self.mod_terlaky, self.gondzio_correctors, self.jit,
+                self._trace_nonce)
 
     def __hash__(self):
         return hash(self._config())

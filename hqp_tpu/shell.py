@@ -24,7 +24,7 @@ bindings.
 
 from __future__ import annotations
 
-import shlex
+import itertools
 
 import jax.numpy as jnp
 
@@ -47,6 +47,61 @@ def _parse(v: str):
     if v in ("false", "False"):
         return False
     return v
+
+
+def _tcl_words(s: str):
+    """Tokenize a command line into Tcl words: plain words, "quoted"
+    strings and {braced} lists (nesting honored, matching Tcl's list
+    semantics -- iftcl/If_RealVec vectors arrive as brace lists).
+    Returns (kind, text) pairs; raises on unbalanced braces/quotes
+    instead of silently mis-splitting."""
+    words = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "{":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if s[j] == "{":
+                    depth += 1
+                elif s[j] == "}":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError(f"unbalanced braces in {s!r}")
+            words.append(("brace", s[i + 1:j - 1]))
+            i = j
+        elif c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"unbalanced quote in {s!r}")
+            words.append(("str", s[i + 1:j]))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not s[j].isspace():
+                j += 1
+            words.append(("plain", s[i:j]))
+            i = j
+    return words
+
+
+def _parse_word(kind, text):
+    if kind == "brace":
+        return [_parse_word(k, t) for k, t in _tcl_words(text)]
+    if kind == "str":
+        return text
+    return _parse(text)
+
+
+#: globally unique nonce for in-place knob writes on value-hashed objects
+#: (Docp programs, Mehrotra solvers): a mutated instance must stop hitting
+#: jit trace caches keyed on its constructor config (advisor r4: the
+#: shell's setattr path silently reused traces with old values baked in)
+_TRACE_NONCE = itertools.count(1)
 
 
 class Shell:
@@ -125,13 +180,13 @@ class Shell:
     # -- dispatch ------------------------------------------------------------
 
     def __call__(self, line: str) -> str:
-        # Tcl-style brace lists ({1 2 3}) become Python lists
-        parts = shlex.split(line.replace("{", ' " ').replace("}", ' " '))
-        if not parts:
+        # Tcl words: {1 {2 3}} nests into Python lists (real tokenizer,
+        # not a quote-substitution -- nested braces parse correctly)
+        words = _tcl_words(line)
+        if not words:
             return ""
-        cmd, args = parts[0], [_parse(a) for a in parts[1:]]
-        args = [([_parse(t) for t in a.split()] if isinstance(a, str)
-                 and " " in a else a) for a in args]
+        cmd = words[0][1]
+        args = [_parse_word(k, t) for k, t in words[1:]]
         fn = getattr(self, "cmd_" + cmd, None)
         if fn is not None:
             return str(fn(*args))
@@ -419,6 +474,12 @@ class Shell:
         path = path.rstrip("!")
         if args and not ro:
             setattr(obj, path, args[0])
+            # value-hashed objects (programs, solvers) ride as static jit
+            # arguments; an in-place mutation must invalidate their trace
+            # identity or a stale trace with the old value baked in is
+            # silently reused (advisor r4 finding)
+            if hasattr(obj, "_trace_nonce"):
+                obj._trace_nonce = next(_TRACE_NONCE)
             return args[0]
         val = getattr(obj, path)
         if isinstance(val, (jnp.ndarray,)):

@@ -71,16 +71,53 @@ ENDATA
     np.testing.assert_allclose(d.x_up, [np.inf, -1.0])
 
 
-def test_nonlinear_sif_rejected():
-    with pytest.raises(SifError, match="SIF-lite"):
+def test_unsupported_nonlinear_constructs_rejected():
+    """The nonlinear subset ingests ELEMENT/GROUP sections (round 5);
+    constructs genuinely outside it still raise cleanly."""
+    with pytest.raises(SifError, match="internal element variables"):
         parse_sif("""\
 NAME          NL
 GROUPS
  N  OBJ
 ELEMENT TYPE
  EV SQ        V1
+ IV SQ        U1
 ENDATA
 """)
+    with pytest.raises(SifError, match="no F definition"):
+        parse_sif("""\
+NAME          NL
+GROUPS
+ N  OBJ
+ELEMENT TYPE
+ EV SQ        V1
+ELEMENT USES
+ T  E1        SQ
+ V  E1        V1                       X1
+GROUP USES
+ E  OBJ       E1
+COLUMNS
+    X1        OBJ       1.0
+ENDATA
+""")
+
+
+def test_nonlinear_structure_parsed():
+    d = load_sif(os.path.join(SIF_DIR, "HS7.SIF"))
+    assert d.has_nonlinear()
+    assert set(d.etypes) == {"LOGSQ", "SQSQP", "SQ"}
+    assert d.euses["E2"]["type"] == "SQSQP"
+    assert d.grp_elems["CON1"] == [("E2", 1.0), ("E3", 1.0)]
+    assert "LOGSQ" in d.elem_fns
+    # HS6 exercises a group type on the objective
+    d6 = load_sif(os.path.join(SIF_DIR, "HS6.SIF"))
+    assert d6.grp_type["OBJ"] == "L2"
+    assert "L2" in d6.group_fns
+    prg = PrgSIF(d6)
+    x = np.asarray([0.5, 0.25])
+    # f = (1 - x1)^2; c = 10 x2 - 10 x1^2
+    assert float(prg.f0(x)) == pytest.approx(0.25)
+    assert float(prg.c(x)[0]) == pytest.approx(0.0)
 
 
 def test_registered_as_prg_module():
@@ -95,6 +132,13 @@ CASES = [
     ("HS35.SIF", 1.0 / 9.0),
     ("HS76.SIF", -4.681818181),
     ("TAME.SIF", 0.0),
+    # nonlinear subset (round 5): ELEMENT/GROUP TYPE+USES with F
+    # expressions compiled to jax, derivatives via jax AD
+    # (models/sif.py; the reference ingests these through the SIF
+    # decoder + Fortran callbacks, hqp/Prg_CUTE.C:117-614)
+    ("HS6.SIF", 0.0),
+    ("HS7.SIF", -1.7320508075),
+    ("HS27.SIF", 0.04),
 ]
 
 
