@@ -78,6 +78,31 @@ class _DICBase(OmuProgram):
         return xf, f0, jnp.zeros((0,))
 
 
+@modules.register("prg_name", "DID_MEX")
+class PrgDIDMex(PrgDID):
+    """DID solved through a MEX-BUILT S-function: the in-tree demo
+    source (native/hxi_simulink/sfun_did_demo.c) compiled with
+    -DMATLAB_MEX_FILE exports only ``mexFunction``; the hosting goes
+    through the method-table protocol (hqp_tpu.hxi.mex, the
+    Hxi_MEX_SFunction role).  Parameters arrive as MATLAB-style argument
+    text through the mx parser (Hxi_mx_parse role)."""
+
+    name = "DID_MEX"
+
+    def __init__(self, kmax: int = 60, with_cns: bool = True):
+        super().__init__(kmax=kmax, with_cns=with_cns)
+        import os
+        from hqp_tpu.hxi.mex import MexEvaluator
+        src = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native", "hxi_simulink",
+            "sfun_did_demo.c")
+        ev = MexEvaluator(src, args=f"[{self.dt}]")
+        self.hosted = HostedModel(ev)
+
+    def f(self, k, x, u):
+        return self.hosted.dt_update(k * self.dt, x, u, ())
+
+
 @modules.register("prg_name", "DIC")
 class PrgDIC(_DICBase):
     """Native-JAX continuous double integrator (reference DIC family)."""

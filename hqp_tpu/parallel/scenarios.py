@@ -80,7 +80,7 @@ def make_scenario_init(prg, solver):
     return jax.vmap(one)
 
 
-def make_scenario_solve(prg, solver):
+def make_scenario_solve(prg, solver, presolve_tau=None):
     """Full QP solves over a batch of problem instances in ONE device
     program: cold start + ``lax.while_loop`` to termination per scenario
     (Mehrotra.solve_device), vmapped over the batch axis.  Under a
@@ -88,13 +88,23 @@ def make_scenario_solve(prg, solver):
     without host round-trips -- the honest 'IP iters/s' configuration
     (BASELINE.md config 5).
 
-    Backend note: construct the KKT backend with ``master="cr"`` for
-    batched use -- vmapping the Pallas block-Thomas master lifts the
-    batch into the kernel grid and serializes (measured 30x slower at
-    256 scenarios), while cyclic reduction is batched einsums."""
+    ``presolve_tau``: merge tau-parallel general rows into box bounds
+    before solving (hqp_tpu.qp.presolve.merge_parallel_rows) -- removes
+    the rank-deficient duplicate-row degeneracy that defeats pure
+    path-following on perturbed DID instances.  The returned state's x
+    solves the PRESOLVED QP; measure original-row violations with
+    presolve.original_row_violation.
+
+    Backend note: Pallas kernels auto-select their batched einsum
+    fallbacks under vmap (kkt_partitioned._is_batched), so any backend
+    instance works here; explicit ``master="cr", gj="xla"`` overrides
+    remain available."""
 
     def one(v, Q):
         _, qp = prg.make_qp(v, Q=Q)
+        if presolve_tau is not None:
+            from hqp_tpu.qp.presolve import merge_parallel_rows
+            qp = merge_parallel_rows(qp, presolve_tau)
         st = solver.init_state(qp)
         return solver.solve_device(qp, st)
 

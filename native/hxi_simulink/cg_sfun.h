@@ -42,6 +42,15 @@ HXI_EXPORT void hxi_ss_set_param(SimStruct *S, int_T i, real_T *data,
     S->params[i].is_numeric = 1;
 }
 
+/* character-array parameter (char codes in doubles; mxIsChar /
+ * mxGetString read it back -- Hxi_mx_parse string-argument role) */
+HXI_EXPORT void hxi_ss_set_param_char(SimStruct *S, int_T i, real_T *data,
+                                      int_T m, int_T n)
+{
+    hxi_ss_set_param(S, i, data, m, n);
+    S->params[i].is_numeric = 0;
+}
+
 /* allocate runtime buffers once mdlInitializeSizes has run */
 HXI_EXPORT void hxi_ss_allocate(SimStruct *S)
 {

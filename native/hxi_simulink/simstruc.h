@@ -50,6 +50,15 @@ static int_T mxGetNumberOfElements(const mxArray *a) { return a ? a->m * a->n : 
 static int_T mxGetM(const mxArray *a) { return a ? a->m : 0; }
 static int_T mxGetN(const mxArray *a) { return a ? a->n : 0; }
 static real_T *mxGetPr(const mxArray *a) { return a ? a->pr : NULL; }
+static int_T mxIsChar(const mxArray *a) { return a != NULL && !a->is_numeric; }
+static int_T mxGetString(const mxArray *a, char *buf, int_T buflen)
+{
+    int_T i, len = a ? a->m * a->n : 0;
+    if (len > buflen - 1) len = buflen - 1;
+    for (i = 0; i < len; i++) buf[i] = (char)a->pr[i];
+    buf[len] = '\0';
+    return 0;
+}
 
 /* ---- capacities --------------------------------------------------------- */
 #define HXI_MAX_PORTS        8
@@ -92,7 +101,33 @@ typedef struct SimStruct_tag {
     int_T  *jac_ir;
     int_T  *jac_jc;
     int_T   jac_ncols;
+
+    /* ---- MEX method table (Hxi_MEX_SFunction role) ----------------------
+     * A MEX-built S-function exports ONLY mexFunction; our simulink.c
+     * twin registers the static mdl* methods here during the flag-0
+     * initialization call so the host (mex_host.c) can drive them
+     * through function pointers -- the same design as the reference's
+     * ssSetmdlOutputs/... registration (hxi/Hxi_MEX_SFunction.C:355+,
+     * hxi/Hxi_SimStruct.h method slots). */
+    struct {
+        void (*initializeSizes)(struct SimStruct_tag *);
+        void (*initializeSampleTimes)(struct SimStruct_tag *);
+        void (*initializeConditions)(struct SimStruct_tag *);
+        void (*start)(struct SimStruct_tag *);
+        void (*outputs)(struct SimStruct_tag *, int_T);
+        void (*update)(struct SimStruct_tag *, int_T);
+        void (*derivatives)(struct SimStruct_tag *);
+        void (*jacobian)(struct SimStruct_tag *);
+        void (*terminate)(struct SimStruct_tag *);
+    } methods;
 } SimStruct;
+
+/* MEX pointer-smuggling protocol (see simulink.c / mex_host.c): the
+ * SimStruct pointer rides bit-exactly in element 0 of a double vector,
+ * the S-function level in element 1 (the reference packs int_T words +
+ * SIMSTRUCT_VERSION_LEVEL2, Hxi_MEX_SFunction.C:281-289; one 64-bit
+ * double carries the whole pointer on every platform we target). */
+#define HXI_SIMSTRUCT_VERSION_LEVEL2 2.0
 
 typedef const real_T *const *InputRealPtrsType;
 
