@@ -101,17 +101,22 @@ def time_backend(be, qp, mask, ones, rhs, reps=REPS, links=1):
     else:
         # lax.scan so the link body compiles ONCE (an unrolled chain's
         # compile time blew the bench subprocess budget); the carry
-        # dependence still forbids CSE/overlap across iterations
+        # dependence still forbids CSE/overlap across iterations.
+        # Returns the LAST link's full solution so the correctness gate
+        # runs on the TIMED artifact (advisor r4: gating a separate
+        # unperturbed solve hid what was actually measured; the final
+        # link's rhs differs from the nominal one by 1e-30-scale bumps,
+        # irrelevant against the 1e-6 gate).
         def fs(qp):
             def body(carry, _):
                 z, x = carry
                 out = link(qp, z, x)
                 bump = 1e-30 * out[0][0, 0]
                 z2 = mk.tmap(lambda o: o + bump, ones)
-                return (z2, r1 + 1e-30 * out[0]), None
-            (zf, xf), _ = jax.lax.scan(body, (ones, r1), None,
-                                       length=links)
-            return (xf,)
+                return (z2, r1 + 1e-30 * out[0]), out
+            (zf, xf), outs = jax.lax.scan(body, (ones, r1), None,
+                                          length=links)
+            return jax.tree_util.tree_map(lambda a: a[-1], outs)
 
     f = jax.jit(fs)
     out = f(qp)
@@ -146,11 +151,11 @@ def cfg_did1000():
 
     part = PartitionedKKT(L=20)   # production defaults
     part_ms, sol_p = time_backend(part, qp, mask, ones, rhs, links=8)
-    # correctness gate on a fresh single solve (the chain's links feed
-    # perturbed rhs; gate the unperturbed one)
-    single_ms, sol_1 = time_backend(part, qp, mask, ones, rhs, reps=5)
-    res = residual_of(qp, mask, ones, rhs, sol_1)
-    ok = res < RES_TOL and not bool(jnp.any(jnp.isnan(sol_1[0])))
+    # correctness gate on the TIMED artifact: the final chained link's
+    # solution (advisor r4)
+    res = residual_of(qp, mask, ones, rhs, sol_p)
+    ok = res < RES_TOL and not bool(jnp.any(jnp.isnan(sol_p[0])))
+    single_ms, _ = time_backend(part, qp, mask, ones, rhs, reps=5)
     out.update(spsc_ms=round(part_ms, 3), single_call_ms=round(single_ms, 3),
                residual=res, ok=ok)
     return out, (part_ms, res, ok, None)
@@ -284,6 +289,10 @@ def cfg_sparse_nlp():
     driving its host factorization loop through the tunneled TPU backend
     only adds ~200 s of per-op round trips."""
     import subprocess
+    # two solves: the first pays one-time tracing/compiles of the jitted
+    # IP program (~15 s); the second is the WARM number (the reference's
+    # RedSpBKP class comparison point -- factor per iteration, structure
+    # once per problem)
     code = (
         "import os, json, time;"
         "os.environ['JAX_PLATFORMS']='cpu';"
@@ -291,7 +300,10 @@ def cfg_sparse_nlp():
         "from hqp_tpu.models.nlp_gen import solve_generated;"
         "t0=time.perf_counter();"
         "info=solve_generated('lqblend', n=2000, eps=1e-6);"
-        "info['solve_ms']=round((time.perf_counter()-t0)*1e3,1);"
+        "t1=time.perf_counter();"
+        "info=solve_generated('lqblend', n=2000, eps=1e-6);"
+        "info['cold_ms']=round((t1-t0)*1e3,1);"
+        "info['solve_ms']=round((time.perf_counter()-t1)*1e3,1);"
         "print(json.dumps(info))"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -447,8 +459,12 @@ def main():
                                           CONFIG_CAPS["did1000_kkt"])
     c = configs["did1000_kkt"]
     ok = bool(c.get("ok"))
+    # metric renamed in round 5 (was: did1000_kkt_factor_solve_ms, a
+    # single-call time through r3; r4 silently switched the value to the
+    # chained per-iteration cost under the old name -- advisor finding).
+    # The name now says what is measured; single_call_ms rides alongside.
     primary = {
-        "metric": "did1000_kkt_factor_solve_ms",
+        "metric": "did1000_kkt_factor_solve_chained_ms",
         "value": c.get("spsc_ms") if ok else None,
         "unit": "ms",
         "vs_baseline": 0.0,   # filled from did1000_kkt_alt below

@@ -116,7 +116,10 @@ def main():
     out["unsharded_ms"] = round(
         time_backend(PartitionedKKT(L=20), qp, mask, ones, rhs), 3)
     # strong scaling of the sharded backend against ITSELF on a 1-device
-    # mesh (same code path, so shard_map overheads cancel)
+    # mesh (same code path, so shard_map overheads cancel).  full_shard
+    # (round 5) runs the ENTIRE solve inside one shard_map -- no
+    # replicated O(K) stage work; the r4 layering is recorded alongside
+    # for the A/B.
     times = {}
     for nd in (1, 2, 4, 8):
         if nd > len(devs):
@@ -129,6 +132,11 @@ def main():
     for nd, t in times.items():
         if nd > 1:
             out[f"scaling_eff_{nd}dev"] = round(base / (t * nd), 3)
+    if len(devs) >= 2 and os.environ.get("HQP_SCALING_R4PATH", "1") != "0":
+        mesh2 = Mesh(np.array(devs[:2]), ("sp",))
+        be_old = ShardedPartitionedKKT(mesh2, L=20, full_shard=False)
+        out["factor_solve_ms_r4path_2dev"] = round(
+            time_backend(be_old, qp, mask, ones, rhs), 3)
     print(json.dumps(out))
     # record for bench.py's scaling config (runs out-of-band; see
     # bench.py cfg_scaling)

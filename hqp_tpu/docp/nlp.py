@@ -35,6 +35,29 @@ class Nlp:
 
     name = "Nlp"
 
+    # value-based jit identity (same contract as Docp._static_config):
+    # programs ride as static arguments of their jitted evaluators; with
+    # identity hashing every fresh instance of the same problem
+    # re-traces and re-compiles them (measured: ~6 s of re-compiles per
+    # warm lqblend n=2000 solve through fresh instances)
+    _trace_nonce = 0
+
+    def _static_config(self):
+        return None
+
+    def __hash__(self):
+        c = self._static_config()
+        return object.__hash__(self) if c is None else \
+            hash((type(self), c, self._trace_nonce))
+
+    def __eq__(self, other):
+        c = self._static_config()
+        if c is None:
+            return self is other
+        return type(other) is type(self) and \
+            other._static_config() == c and \
+            other._trace_nonce == self._trace_nonce
+
     def setup_vars(self):
         return {}
 

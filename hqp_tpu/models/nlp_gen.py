@@ -44,6 +44,9 @@ class PrgLQBlend(Nlp):
         self.wlen = wlen
         self.m = n // wlen
 
+    def _static_config(self):
+        return (self.n, self.wlen)
+
     def setup_vars(self):
         return dict(x_init=np.full(self.n, 0.1),
                     x_min=np.full(self.n, -2.0),
@@ -70,6 +73,9 @@ class PrgBroydn3d(Nlp):
         self.n = n
         self.m = 0
 
+    def _static_config(self):
+        return (self.n,)
+
     def setup_vars(self):
         return dict(x_init=np.full(self.n, -1.0))
 
@@ -91,6 +97,9 @@ class PrgBdqrtic(Nlp):
     def __init__(self, n=1000):
         self.n = n
         self.m = 0
+
+    def _static_config(self):
+        return (self.n,)
 
     def setup_vars(self):
         return dict(x_init=np.ones(self.n))
@@ -119,6 +128,9 @@ class PrgCatena(Nlp):
         self.h = 1.0 / (n + 1)
         self.L = slack * self.h        # each link longer than the spacing
 
+    def _static_config(self):
+        return (self.n, self.L)
+
     def setup_vars(self):
         # sagging initial guess keeps the link-length Jacobian nonsingular
         t = np.linspace(0.0, 1.0, self.n + 2)[1:-1]
@@ -144,6 +156,9 @@ class PrgSRosenbr(Nlp):
     def __init__(self, n=1000):
         self.n = n
         self.m = 0
+
+    def _static_config(self):
+        return (self.n,)
 
     def setup_vars(self):
         x0 = np.tile([-1.2, 1.0], self.n // 2 + 1)[: self.n]
@@ -180,6 +195,9 @@ FAMILY_HELA = {
 }
 
 
+_SHARED = {}
+
+
 def solve_generated(name: str, n: int = 1000, eps: float = 1e-6,
                     max_iters: int = 200, hela: str | None = None):
     """Solve one generated family instance through the CUTE-scale path:
@@ -202,9 +220,16 @@ def solve_generated(name: str, n: int = 1000, eps: float = 1e-6,
     # factor callback (cached symbolic, native LDL) + solve callbacks.
     # The jit=False + SparseHostKKT combination cost ~17 s on lqblend
     # n=2000 in eager dispatch/mini-compiles alone (bench r4 config 3).
+    # The backend/solver pair is SHARED across calls: SparseCallbackKKT
+    # is identity-hashed (it owns host-side factor state), so a fresh
+    # instance per call would miss every jit trace cache and re-compile
+    # the whole IP program (measured ~6 s per warm lqblend solve).
+    if "pair" not in _SHARED:
+        _SHARED["pair"] = (ip.Mehrotra(eps=1e-9, max_iters=60),
+                           SparseCallbackKKT())
+    qp_solver, backend = _SHARED["pair"]
     s = SqpPowell(prg, max_iters=max_iters, eps=eps,
-                  qp_solver=ip.Mehrotra(eps=1e-9, max_iters=60),
-                  kkt_backend=SparseCallbackKKT(), **kw)
+                  qp_solver=qp_solver, kkt_backend=backend, **kw)
     s.init()
     result = s.solve()
     return {"problem": name, "n": prg.n, "m": prg.m, "result": result,

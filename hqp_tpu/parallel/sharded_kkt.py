@@ -47,7 +47,8 @@ class ShardedPartitionedKKT(PartitionedKKT):
     refine_unroll = True
 
     def __init__(self, mesh: Mesh, axis: str = "sp", L: int = 16,
-                 refine_rounds: int = 4, full_shard: bool = True, **kw):
+                 refine_rounds: int | None = None,
+                 full_shard: bool = True, **kw):
         # block-Thomas is a Pallas kernel; inside shard_map keep the
         # einsum-based cyclic reduction (vmap/shard-friendly)
         kw.setdefault("master", "cr")
@@ -385,7 +386,7 @@ class ShardedPartitionedKKT(PartitionedKKT):
 
         Kloc = qp_loc.K
         own = (jnp.arange(Kloc + 1) < Kloc) | last
-        if self.refine_rounds > 0:
+        if self._refine_rounds() > 0:
             # unrolled true-residual refinement (hqp_tpu.qp.kkt.refine
             # semantics: entry check + monotone guard), with the global
             # residual norm from one pmax per round
@@ -394,10 +395,12 @@ class ShardedPartitionedKKT(PartitionedKKT):
                 qp_loc, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw,
                 idx, last, own)
             go = jnp.asarray(True)
-            # relative tolerance (K_.refine relative=True semantics):
-            # local masked max of the rhs over owned rows, then pmax
-            def _oscale(arr, valid):
-                a = jnp.where(valid, jnp.abs(arr), 0.0)
+            # relative tolerance (K_.refine relative=True semantics,
+            # rhs-only scale): local own-row maxima, then one pmax
+            def _oscale(arr, valid=None):
+                a = jnp.abs(arr)
+                if valid is not None:
+                    a = jnp.where(valid, a, 0.0)
                 o = own[: a.shape[0]].reshape(
                     (a.shape[0],) + (1,) * (a.ndim - 1))
                 return jnp.max(jnp.where(o, a, 0.0)) if a.size else 0.0
@@ -410,7 +413,7 @@ class ShardedPartitionedKKT(PartitionedKKT):
                     sc = jnp.maximum(sc, _oscale(le, lm))
             sc = jax.lax.pmax(sc, self.axis)
             eps = self._refine_eps() * jnp.maximum(1.0, sc)
-            for _ in range(self.refine_rounds):
+            for _ in range(self._refine_rounds()):
                 cx, cy, cz, cw = base(e1, e2, e3, e4)
                 n_sol = (dx + cx, mk.add(dy, cy), mk.add(dz, cz),
                          mk.add(dw, cw))

@@ -167,10 +167,15 @@ def refine(solve_fn, qp, z, w, mask, r1, r2, r3, r4, sol,
     ``lax.while_loop`` so the common case (already accurate) costs one
     residual evaluation.
 
-    ``relative=True`` scales ``eps`` by max(1, ||rhs||_inf): the
-    termination target is relative accuracy of the direction, matching
-    the reference's residuum test against the iterate's own scale
-    (hqp/Hqp_IpMatrix.C:119-124 tests against the rhs norm).
+    ``relative=True`` scales ``eps`` by max(1, ||rhs||_inf,
+    ||data||_inf * ||sol||_inf) -- the backward-error test (residual
+    relative to |A||x| + |b|), matching the reference's residuum test
+    against the iterate's own scale (hqp/Hqp_IpMatrix.C:119-124).  The
+    solution term matters: the analytic-correction floor of the
+    partitioned backend is ~delta_eff * ||dy||, i.e. it scales with the
+    SOLUTION, so an rhs-only scale forces one futile round per solve at
+    every large-direction iterate (measured: 21.4 -> 10.2 ms per
+    DID-1000 IP step once the entry check accounts for it).
 
     ``unroll=True`` runs the rounds as straight-line code with ``where``
     gating instead of a ``while_loop``.  Required when ``solve_fn``
@@ -179,9 +184,14 @@ def refine(solve_fn, qp, z, w, mask, r1, r2, r3, r4, sol,
     (observed on jax 0.9 with the 8-device host mesh; results are
     computed correctly, then frees crash) -- and on TPU the unrolled form
     also avoids re-launch overhead of a serial loop over collectives."""
-    if relative:
-        eps = eps * jnp.maximum(1.0, rhs_scale(qp, mask, r1, r2, r3, r4))
     dx, dy, dz, dw = sol
+    if relative:
+        # rhs-only scale.  Solution-scaled variants (max over sol, or
+        # |dx| only) were measured and REVERTED: they skip refinement
+        # rounds whose accuracy the DID-1000 IP genuinely needs
+        # (solution-scaled rr4 diverged outright; dx-scaled rr2 hit
+        # subiters while rhs-only rr2 converges at 25 it/s).
+        eps = eps * jnp.maximum(1.0, rhs_scale(qp, mask, r1, r2, r3, r4))
     e1, e2, e3, e4, res0 = kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
                                         dx, dy, dz, dw)
 

@@ -134,8 +134,13 @@ class SparseCallbackKKT:
     solve callback per round).
     """
 
+    #: refine runs UNROLLED (callbacks inside a While body are fragile on
+    #: XLA:CPU), so every round's solve callback executes even when the
+    #: where-gating discards it -- with the f64 LDL one round is both
+    #: sufficient (base residual ~1e-12 * cond) and half the per-solve
+    #: callback traffic of the former 3
     def __init__(self, dual_reg: float = 1e-10, reg: float = 1e-12,
-                 refine_rounds: int = 3, use_rcm: bool = True):
+                 refine_rounds: int = 1, use_rcm: bool = True):
         self.dual_reg = dual_reg
         self.reg = reg
         self.refine_rounds = refine_rounds
@@ -166,21 +171,28 @@ class SparseCallbackKKT:
         problem, factor once per iteration)."""
         pat = sp.csr_matrix(pat)
         pat.sort_indices()
-        pat0 = pat.copy()
-        pat0.data = np.zeros_like(pat0.data)
+        N = pat.shape[0]
+        # global row-major entry keys (sorted ascending for a canonical
+        # CSR): numeric data is PROJECTED onto the pattern by
+        # searchsorted -- scipy csr addition prunes explicit zeros, so a
+        # sum-based projection silently drops pattern slots
+        rows = np.repeat(np.arange(N, dtype=np.int64),
+                         np.diff(pat.indptr))
+        pat_keys = rows * np.int64(N) + pat.indices.astype(np.int64)
 
         if self.use_rcm:
-            perm = rcm_order(pat.shape[0], pat.indptr, pat.indices)
+            perm = rcm_order(N, pat.indptr, pat.indices)
         else:
-            perm = np.arange(pat.shape[0])
+            perm = np.arange(N)
         T = pat.copy()
-        T.data = np.arange(pat.nnz, dtype=np.float64)
+        # 1-based positions: value 0 must not collide with a pruned slot
+        T.data = np.arange(1, pat.nnz + 1, dtype=np.float64)
         Tp = T[perm][:, perm].tocsr()
         Tp.sort_indices()
-        data_map = Tp.data.astype(np.int64)
+        data_map = Tp.data.astype(np.int64) - 1
         ldl = SparseLDL(Tp.shape[0], Tp.indptr, Tp.indices)
-        rec = dict(pat0=pat0, perm=np.asarray(perm), data_map=data_map,
-                   ldl=ldl, nnz=pat.nnz)
+        rec = dict(pat_keys=pat_keys, pat=pat, perm=np.asarray(perm),
+                   data_map=data_map, ldl=ldl, nnz=pat.nnz)
         self._sym[key] = rec
         return rec
 
@@ -198,28 +210,39 @@ class SparseCallbackKKT:
                            format="csr")
         else:
             Knum = sp.csr_matrix(-H)
+        Knum = sp.csr_matrix(Knum)
+        Knum.sort_indices()
+        N = Knum.shape[0]
+        krows = np.repeat(np.arange(N, dtype=np.int64),
+                          np.diff(Knum.indptr))
+        kkeys = krows * np.int64(N) + Knum.indices.astype(np.int64)
+
         rec = self._sym.get(key)
         if rec is not None:
-            Kfull = (rec["pat0"] + Knum).tocsr()
-            Kfull.sort_indices()
-            if Kfull.nnz != rec["nnz"]:
+            pos = np.searchsorted(rec["pat_keys"], kkeys)
+            grown = (pos >= rec["nnz"]) if rec["nnz"] else \
+                np.ones_like(pos, bool)
+            ok = not bool(np.any(grown)) and \
+                bool(np.all(rec["pat_keys"][np.minimum(pos, rec["nnz"] - 1)]
+                            == kkeys))
+            if not ok:
                 # the pattern GREW (e.g. an exact-Hessian strategy filled
-                # new off-diagonals at a later SQP iterate): the cached
-                # data map would misindex -- rebuild the symbolic record
-                # from the union pattern
+                # new off-diagonals at a later SQP iterate): rebuild the
+                # symbolic record from the union pattern
                 rec = None
         if rec is None:
             patn = Knum.copy()
             patn.data = np.ones_like(patn.data)
             old = self._sym.get(key)
             if old is not None:
-                pat_old = old["pat0"].copy()
+                pat_old = old["pat"].copy()
                 pat_old.data = np.ones_like(pat_old.data)
                 patn = (patn + pat_old).tocsr()
             rec = self._symbolic(key, patn)
-            Kfull = (rec["pat0"] + Knum).tocsr()
-            Kfull.sort_indices()
-        data = Kfull.data[rec["data_map"]]
+            pos = np.searchsorted(rec["pat_keys"], kkeys)
+        data_full = np.zeros(rec["nnz"])
+        data_full[pos] = Knum.data
+        data = data_full[rec["data_map"]]
         rec["ldl"].factor(data, reg=self.reg)
         self._token += 1
         self._live[self._token] = rec

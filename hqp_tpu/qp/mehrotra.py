@@ -86,7 +86,7 @@ class Mehrotra:
     # they were added for.  Both remain selectable.
     def __init__(self, backend=None, eps=1e-9, max_iters=50, max_warm_iters=25,
                  gammaf=0.01, init_method=0, mod_terlaky=False,
-                 gondzio_correctors=0, jit=True):
+                 gondzio_correctors=0, cheap_predictor=False, jit=True):
         self.backend = backend
         self.eps = eps
         self.max_iters = max_iters
@@ -95,6 +95,12 @@ class Mehrotra:
         self.init_method = init_method
         self.mod_terlaky = mod_terlaky
         self.gondzio_correctors = gondzio_correctors
+        #: solve the affine predictor WITHOUT the true-residual refine
+        #: gate (backend.with_refine(0)); the analytic regularization
+        #: corrections still run, so the predictor residual stays at the
+        #: ~delta*|dy| floor -- enough to shape sigma, while the accepted
+        #: corrector direction keeps the full gate
+        self.cheap_predictor = cheap_predictor
         #: jit=False runs eagerly -- required for host-callback backends
         #: (SparseHostKKT) whose factorizations live outside XLA
         self.jit = jit
@@ -109,8 +115,8 @@ class Mehrotra:
     def _config(self):
         return (type(self), self.backend, self.eps, self.max_iters,
                 self.max_warm_iters, self.gammaf, self.init_method,
-                self.mod_terlaky, self.gondzio_correctors, self.jit,
-                self._trace_nonce)
+                self.mod_terlaky, self.gondzio_correctors,
+                self.cheap_predictor, self.jit, self._trace_nonce)
 
     def __hash__(self):
         return hash(self._config())
@@ -328,7 +334,10 @@ class Mehrotra:
             # exhaust max_iters (the reference refines every solve too,
             # hqp/Hqp_IpMatrix.C).
             fac = self.backend.factor(qp, z, w, mask)
-            dxa, dya, dza, dwa = self.backend.solve(
+            pred_be = self.backend.with_refine(0) \
+                if self.cheap_predictor and \
+                hasattr(self.backend, "with_refine") else self.backend
+            dxa, dya, dza, dwa = pred_be.solve(
                 fac, qp, z, w, mask, r1, r2, r3, r4)
 
             alpha_aff = jnp.clip(
