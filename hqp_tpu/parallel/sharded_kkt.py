@@ -288,12 +288,27 @@ class ShardedPartitionedKKT(PartitionedKKT):
         rhoI = self._rhs_partitions(gsp, r2p, dims)
         t = _interior_apply((Minv, Dd, MII), rhoI)
         corr_l = jnp.einsum("psb,ps->pb", MIB, t)
-        corr = self._gather_replicated(corr_l)            # [P, 2nx]
-        # boundary rhs: partition-start rows live at local rows 0, L, ...;
-        # the terminal row comes from the last device's halo (valid there)
-        gxs = self._gather_replicated(gx[:-1][::L])       # [P, nx]
-        gT = jax.lax.psum(
-            jnp.where(last, g2[-1], jnp.zeros_like(g2[-1])), self.axis)
+        # ONE fused psum carries all boundary data: the per-partition
+        # Schur corrections, the partition-start rows of g (local rows
+        # 0, L, ...), and the terminal row (the last device's valid
+        # halo).  Three separate collectives per reduced solve dominated
+        # the virtual-mesh overhead (each collective is a sync point;
+        # the payload is O(P nx), tiny either way).
+        P = Pl * self.ndev
+        gxs_l = gx[:-1][::L]                              # [Pl, nx]
+        pay = jnp.zeros(P * 2 * nx + P * nx + g2.shape[1])
+        i0 = idx * Pl
+        pay = jax.lax.dynamic_update_slice_in_dim(
+            pay, corr_l.ravel(), i0 * 2 * nx, 0)
+        pay = jax.lax.dynamic_update_slice_in_dim(
+            pay, gxs_l.ravel(), P * 2 * nx + i0 * nx, 0)
+        pay = jax.lax.dynamic_update_slice_in_dim(
+            pay, jnp.where(last, g2[-1], jnp.zeros_like(g2[-1])),
+            P * 3 * nx, 0)
+        pay = jax.lax.psum(pay, self.axis)
+        corr = pay[: P * 2 * nx].reshape(P, 2 * nx)
+        gxs = pay[P * 2 * nx: P * 3 * nx].reshape(P, nx)
+        gT = pay[P * 3 * nx:]
         rhoB_T = gT[:nx] - KgainK.T @ gT[nx:]
         rhoB = jnp.concatenate([gxs, rhoB_T[None]], axis=0)
         rhoB = rhoB.at[:-1].add(-corr[:, :nx])

@@ -90,13 +90,16 @@ def _default_inner_rounds():
     """Inner-refinement rounds for interior applications.  The relative
     error of one scaled-f32-inverse application is q ~= cond * eps_f32;
     with dual_reg bounding cond at ~1/delta ~ 3e6, q ~= 0.2, and each
-    inner round multiplies the error by q.  Five rounds put the interior
-    solve at ~q^6 ~ 1e-4 relative, which the f64 outer refinement then
-    contracts below 1e-10 -- measured necessary for late-barrier IP
-    iterations (z/w spread 1e8+), where 2 rounds left a 1e-4 KKT residual
-    that broke IP complementarity on TPU.  On f64 factor backends (CPU)
-    the inverse is already exact; one safety round suffices."""
-    return 5 if K_.lu_dtype() == jnp.float32 else 1
+    inner round multiplies the error by q.  Four rounds put the interior
+    solve at ~q^5 ~ 3e-4 relative, which the (relative-tolerance) f64
+    outer refinement then contracts to the delta-governed floor --
+    round-5 A/B on the in-loop DID-1000 solve: inner 5/4/3 all converge
+    to the same objective at 23.1/26.9/29.9 IP iters/s; 4 keeps one
+    round of late-barrier margin over the fastest setting (the r4 war:
+    2 rounds left a 1e-4 residual that broke complementarity).  On f64
+    factor backends (CPU) the inverse is already exact; one safety round
+    suffices."""
+    return 4 if K_.lu_dtype() == jnp.float32 else 1
 
 
 INNER_ROUNDS = None  # optional global override (tests/experiments)
@@ -167,20 +170,23 @@ def _master_kernel():
 
 def _master_solve(master, dM, rhs, nx, kernel=None):
     """Master solve: f64 CR (exact) or f32 Pallas Thomas + refinement.
-    Batched (vmapped) applications auto-select CR (see _is_batched);
-    factor and solve see the same batching context, so the kernel choice
-    is consistent with the factors stored by _master_build."""
-    if (kernel or _master_kernel()) == "thomas" \
-            and nx <= thomas_pallas.MAX_BLOCK \
-            and not _is_batched(rhs):
-        Sm, Um = master
-        r = dM * rhs
-        x = thomas_pallas.thomas_solve(Sm, Um, r)
-        for _ in range(_inner_rounds()):
-            x = x + thomas_pallas.thomas_solve(
-                Sm, Um, r - _master_matvec(Sm, Um, x))
-        return dM * x
-    return blocktri.cr_solve_scaled(master, dM, rhs)
+
+    The kernel is decided STRUCTURALLY from the factor object that
+    _master_build stored (CR factors are ((levels...), base); the
+    Thomas form is the raw (Sm, Um) array pair), so factor and solve can
+    never disagree -- re-detecting batching here is unsound: a factor
+    built outside a ``lax.while_loop`` (cold start, batch-visible)
+    paired with solves traced inside the loop body (batch applied at the
+    jaxpr level, invisible to Python) produced exactly that mismatch."""
+    if isinstance(master[0], tuple):
+        return blocktri.cr_solve_scaled(master, dM, rhs)
+    Sm, Um = master
+    r = dM * rhs
+    x = thomas_pallas.thomas_solve(Sm, Um, r)
+    for _ in range(_inner_rounds()):
+        x = x + thomas_pallas.thomas_solve(
+            Sm, Um, r - _master_matvec(Sm, Um, x))
+    return dM * x
 
 
 class PartitionedKKT:

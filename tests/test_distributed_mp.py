@@ -63,7 +63,10 @@ psum = float(jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(),
 qp = random_stage_qp(16, 2, 1, 1, seed=5)
 z, w, mask = random_zw(qp, seed=1)
 rhs = random_rhs(qp, seed=2)
-be = ShardedPartitionedKKT(mesh, axis="sp", L=4)
+# small refine/correction depth: the graph compiles in two cold jax
+# processes that may share a loaded 2-core CI host
+be = ShardedPartitionedKKT(mesh, axis="sp", L=4, refine_rounds=1,
+                           reg_corr_rounds=1)
 fac = be.factor(qp, z, w, mask)
 sol = be.solve(fac, qp, z, w, mask, *rhs)
 *_, res = K_.kkt_residual(qp, z, w, mask, *rhs, *sol)
@@ -105,7 +108,7 @@ def test_two_process_distributed(tmp_path):
     outs = []
     for p in procs:
         try:
-            so, se = p.communicate(timeout=420)
+            so, se = p.communicate(timeout=560)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
