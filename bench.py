@@ -149,7 +149,12 @@ def cfg_did1000():
     prg, qp, mask, ones, rhs = build_kkt(KMAX)
     out = {}
 
-    part = PartitionedKKT(L=20)   # production defaults
+    # L=10 (P=100, s=48 interiors): the round-5 partition sweep
+    # (perf/l_sweep.py) measured 5.6 ms/iter vs 9.2 at L=20 -- the
+    # smaller interiors are both cheaper (GJ flops ~ L^2 K) and better
+    # conditioned (entry residual 7e-8 clears the refine gate without
+    # rounds).  This matches the solver default (_choose_L at K=1000).
+    part = PartitionedKKT(L=10)
     part_ms, sol_p = time_backend(part, qp, mask, ones, rhs, links=8)
     # correctness gate on the TIMED artifact: the final chained link's
     # solution (advisor r4)
@@ -163,23 +168,26 @@ def cfg_did1000():
 
 def cfg_did1000_alt():
     """Alternative backends on the same KKT system: the sequential
-    Riccati parity path (LQDOCP) and the dense-saddle LU baseline
-    (vs_dense = what structure exploitation buys)."""
+    Riccati parity ORACLE (`qp_mat_solver Riccati`; the reference's
+    flagship name LQDOCP resolves to the partitioned backend since
+    round 5) and the dense-saddle LU baseline (vs_dense = what
+    structure exploitation buys)."""
     from hqp_tpu.qp.kkt import FullStageKKT, RiccatiKKT
     from hqp_tpu.qp.kkt_partitioned import PartitionedKKT
 
     prg, qp, mask, ones, rhs = build_kkt(KMAX)
     out = {}
-    single_ms, sol_1 = time_backend(PartitionedKKT(L=20), qp, mask, ones,
+    single_ms, sol_1 = time_backend(PartitionedKKT(L=10), qp, mask, ones,
                                     rhs, reps=5)
     try:
         ric_ms, sol_r = time_backend(RiccatiKKT(), qp, mask, ones, rhs,
                                      reps=5)
         res_r = residual_of(qp, mask, ones, rhs, sol_r)
-        out.update(lqdocp_ms=round(ric_ms, 3), lqdocp_residual=res_r,
-                   lqdocp_ok=res_r < RES_TOL)
+        out.update(riccati_oracle_ms=round(ric_ms, 3),
+                   riccati_oracle_residual=res_r,
+                   riccati_oracle_ok=res_r < RES_TOL)
     except Exception as e:  # pragma: no cover
-        out["lqdocp_error"] = str(e)[:200]
+        out["riccati_oracle_error"] = str(e)[:200]
     try:
         full_ms, _ = time_backend(FullStageKKT(), qp, mask, ones, rhs,
                                   reps=3)
@@ -251,7 +259,7 @@ def cfg_nx6_1000():
     ones = mk.fill(mk.tmap(lambda m: m.astype(jnp.float64), mask), 1.0)
     rhs = (jnp.ones((K + 1, nv)), qp.eq_offsets(),
            mk.fill(mask, 0.0), mk.fill(mask, 0.0))
-    be = PartitionedKKT(L=20)
+    be = PartitionedKKT(L=10)
     ms, sol = time_backend(be, qp, mask, ones, rhs, reps=10)
     res = residual_of(qp, mask, ones, rhs, sol)
     return {"spsc_ms": round(ms, 3), "residual": res, "ok": res < RES_TOL}
@@ -400,8 +408,8 @@ CONFIG_FNS = {
 CONFIG_CAPS = {
     "did1000_kkt": 280,
     "did1000_kkt_alt": 200,
-    "did1000_sqp": 160,
-    "did60_sqp": 120,
+    "did1000_sqp": 200,
+    "did60_sqp": 200,
     "nx6_1000_kkt": 150,
     "scenarios256": 420,
     "sparse_nlp": 280,
