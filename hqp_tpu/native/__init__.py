@@ -44,6 +44,15 @@ def _lib():
     lib.hqp_ldl_nnz.restype = ctypes.c_int
     lib.hqp_ldl_nnz.argtypes = [ctypes.c_void_p]
     lib.hqp_ldl_destroy.argtypes = [ctypes.c_void_p]
+    lib.hqp_bkp_factor.restype = ctypes.c_void_p
+    lib.hqp_bkp_factor.argtypes = [ctypes.c_int, ip, ip, dp,
+                                   ctypes.c_double, ctypes.c_double]
+    lib.hqp_bkp_solve.argtypes = [ctypes.c_void_p, dp]
+    lib.hqp_bkp_nnz.restype = ctypes.c_int
+    lib.hqp_bkp_nnz.argtypes = [ctypes.c_void_p]
+    lib.hqp_bkp_n2x2.restype = ctypes.c_int
+    lib.hqp_bkp_n2x2.argtypes = [ctypes.c_void_p]
+    lib.hqp_bkp_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -115,5 +124,63 @@ class SparseLDL:
     def __del__(self):
         try:
             _lib().hqp_ldl_destroy(ctypes.c_void_p(self._h))
+        except Exception:
+            pass
+
+
+class SparseBKP:
+    """Sparse Bunch-Kaufman-Parlett factorization P'AP = MDM' of a
+    symmetric INDEFINITE matrix in full CSR form (both triangles), with
+    1x1/2x2 pivots -- the reference's spBKP kernel family
+    (hqp/spBKP.C:369 spBKPfactor, hqp/Hqp_IpSpBKP.C:179).
+
+    Unlike :class:`SparseLDL` this does not assume quasidefiniteness:
+    dynamic symmetric pivoting handles zero/small diagonals (saddle-point
+    KKT blocks) without regularization.  ``tol`` scales the pivot test
+    (1.0 = textbook alpha; the reference exposes it as ``sp_tol``,
+    spBKP.C:392); re-factor each iteration (pivoting is value-dependent,
+    so there is no reusable symbolic phase)."""
+
+    def __init__(self, n, rowptr, colind, values, tol=1.0, reg=0.0):
+        lib = _lib()
+        rowptr, colind = _ci(rowptr), _ci(colind)
+        vals = np.ascontiguousarray(values, dtype=np.float64)
+        ip = ctypes.POINTER(ctypes.c_int)
+        dp = ctypes.POINTER(ctypes.c_double)
+        self.n = n
+        self._h = lib.hqp_bkp_factor(
+            n, rowptr.ctypes.data_as(ip), colind.ctypes.data_as(ip),
+            vals.ctypes.data_as(dp), ctypes.c_double(tol),
+            ctypes.c_double(reg))
+        if not self._h:
+            raise MemoryError("sparse BKP: allocation failure")
+
+    def solve(self, b):
+        lib = _lib()
+        x = np.array(b, dtype=np.float64, copy=True)
+        dp = ctypes.POINTER(ctypes.c_double)
+        if x.ndim == 1:
+            lib.hqp_bkp_solve(ctypes.c_void_p(self._h),
+                              x.ctypes.data_as(dp))
+        else:
+            for j in range(x.shape[1]):
+                col = np.ascontiguousarray(x[:, j])
+                lib.hqp_bkp_solve(ctypes.c_void_p(self._h),
+                                  col.ctypes.data_as(dp))
+                x[:, j] = col
+        return x
+
+    @property
+    def nnz(self):
+        return _lib().hqp_bkp_nnz(ctypes.c_void_p(self._h))
+
+    @property
+    def n_2x2(self):
+        """Number of 2x2 pivot blocks chosen (diagnostic)."""
+        return _lib().hqp_bkp_n2x2(ctypes.c_void_p(self._h))
+
+    def __del__(self):
+        try:
+            _lib().hqp_bkp_destroy(ctypes.c_void_p(self._h))
         except Exception:
             pass

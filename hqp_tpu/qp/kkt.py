@@ -734,8 +734,8 @@ class FullStageKKT:
 modules.register("qp_mat_solver", "FullKKT")(FullStageKKT)
 
 
-# reference-name aliases: the full 3x3 saddle factorization fills the
-# role of Hqp_IpSpBKP (and the shared-memory-parallel Hqp_IpPARDISO maps
-# to the same batched on-device factorization)
-modules.register("qp_mat_solver", "SpBKP")(FullStageKKT)
+# The reference name `SpBKP` (Hqp_IpSpBKP: full 3x3 KKT via the sparse
+# Bunch-Kaufman factorization) is registered by qp/kkt_sparse_host.py,
+# which binds the native spBKP-role kernel; FullStageKKT stays the dense
+# stage-structured full-KKT oracle under `FullKKT`.
 modules.register("qp_mat_solver", "DenseKKT")(DenseKKT)

@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 import scipy.sparse as sp
 
-from hqp_tpu.native import SparseLDL, rcm_order
+from hqp_tpu.native import SparseLDL, SparseBKP, rcm_order
 from hqp_tpu.utils import masked as mk
 from hqp_tpu.utils.registry import modules
 from hqp_tpu.qp import kkt as K_
@@ -28,6 +28,9 @@ from hqp_tpu.qp.program import DenseQP
 
 class SparseHostKKT:
     """Sparse LDL' backend over the native host kernels (DenseQP path)."""
+
+    #: factorization lives outside XLA: Mehrotra drops to eager for us
+    eager_only = True
 
     def __init__(self, dual_reg: float = 1e-10, reg: float = 1e-12,
                  refine_rounds: int = 5, refine_eps: float = 1e-10,
@@ -299,3 +302,137 @@ class SparseCallbackKKT:
 
 
 modules.register("qp_mat_solver", "RedSpBKP")(SparseCallbackKKT)
+
+
+class FullSparseBKPKKT:
+    """Full 3x3 KKT backend over the native sparse Bunch-Kaufman kernel --
+    the role of the reference's Hqp_IpSpBKP (hqp/Hqp_IpSpBKP.C): no
+    reduction, no quasidefiniteness assumption.  The symmetric indefinite
+    saddle system (our sign convention, qp/kkt.py kkt_residual)
+
+        [-Q   A'  C' ] [dx]   [ r1         ]
+        [ A   0   0  ] [dy] = [ r2         ]
+        [ C   0  W/Z ] [dz]   [ r3 + r4/z  ]      dw = C dx - r3
+
+    is assembled in scipy CSR (Hqp_IpSpBKP::update, Hqp_IpSpBKP.C:117-137),
+    symmetrically scaled on the slack rows by min(1, sqrt(z/w))
+    (Hqp_IpSpBKP::factor, Hqp_IpSpBKP.C:158-176) and factored each
+    iteration by the native BKP with dynamic 1x1/2x2 pivoting
+    (native/sparse_ldl.cpp hqp_bkp_factor, spBKP.C:369 role).  Dead
+    (masked) equality/inequality rows become unit-diagonal pins.
+
+    Use with ``Mehrotra(jit=False)`` like :class:`SparseHostKKT`.  This is
+    the robustness-class backend: zero/small slack diagonals and
+    rank-deficient moments that defeat the pivot-free LDL' are handled by
+    the 2x2 pivots instead of regularization."""
+
+    #: factorization lives outside XLA: Mehrotra drops to eager for us
+    eager_only = True
+
+    def __init__(self, tol: float = 1.0, reg: float = 0.0,
+                 refine_rounds: int = 3, refine_eps: float = 1e-10,
+                 use_rcm: bool = True):
+        self.tol = tol
+        self.reg = reg
+        self.refine_rounds = refine_rounds
+        self.refine_eps = refine_eps
+        self.use_rcm = use_rcm
+        self._perm = None
+
+    def factor(self, qp: DenseQP, z, w, mask):
+        zg = np.asarray(z.g, dtype=np.float64)
+        wg = np.asarray(w.g, dtype=np.float64)
+        mg = np.asarray(mask.g)
+        n, me, mi = qp.n, qp.me, qp.mi
+        Q = sp.csr_matrix(np.asarray(qp.Q))
+        em = np.asarray(qp.eq_mask_)
+        A = sp.csr_matrix(np.asarray(qp.A) * em[:, None])
+        C = sp.csr_matrix(np.asarray(qp.C) * mg[:, None])
+        # slack diagonal w/z on live rows, 1.0 pins on dead rows
+        # (Hqp_IpSpBKP.C:131 inserts the raw 1.0 diagonal the same way)
+        wz = np.where(mg, wg / np.where(mg, zg, 1.0), 1.0)
+        scale = np.where(mg, np.minimum(1.0, np.sqrt(1.0 / wz)), 1.0)
+        Wz = sp.diags(wz * scale * scale)
+        blocks = [[-Q, A.T if me else None,
+                   (C.T @ sp.diags(scale)) if mi else None]]
+        if me:
+            # dead equality rows: unit diagonal pin
+            pin = sp.diags(np.where(em, 0.0, 1.0))
+            blocks.append([A, pin, None])
+        if mi:
+            blocks.append([sp.diags(scale) @ C, None, Wz])
+        J = sp.bmat(blocks, format="csr")
+        J.sort_indices()
+
+        if self.use_rcm:
+            if self._perm is None or len(self._perm) != J.shape[0]:
+                self._perm = rcm_order(J.shape[0], J.indptr, J.indices)
+            p = self._perm
+            J = J[p][:, p].tocsr()
+            J.sort_indices()
+        f = SparseBKP(J.shape[0], J.indptr, J.indices, J.data,
+                      tol=self.tol, reg=self.reg)
+        return (f, scale, n, me, mi)
+
+    def solve(self, fac, qp: DenseQP, z, w, mask, r1, r2, r3, r4):
+        import jax.tree_util as jtu
+        f, scale, n, me, mi = fac
+        zg = np.asarray(z.g, dtype=np.float64)
+        mg = np.asarray(mask.g)
+        treedef = jtu.tree_structure(z)
+
+        def base(a1, a2, a3, a4):
+            a3g = np.asarray(jtu.tree_leaves(a3)[0]) if mi else \
+                np.zeros(0)
+            a4g = np.asarray(jtu.tree_leaves(a4)[0]) if mi else \
+                np.zeros(0)
+            parts = [np.asarray(a1)]
+            if me:
+                parts.append(np.where(np.asarray(qp.eq_mask_),
+                                      np.asarray(a2), 0.0))
+            if mi:
+                r3eff = np.where(mg, a3g + a4g / np.where(mg, zg, 1.0),
+                                 0.0)
+                parts.append(r3eff * scale)
+            rhs = np.concatenate(parts)
+            if self.use_rcm:
+                rhs = rhs[self._perm]
+            sol = f.solve(rhs)
+            if self.use_rcm:
+                out = np.empty_like(sol)
+                out[self._perm] = sol
+                sol = out
+            dx = jnp.asarray(sol[:n])
+            dy = jnp.asarray(sol[n:n + me])
+            dzg = jnp.asarray(np.where(mg, sol[n + me:] * scale, 0.0)) \
+                if mi else jnp.zeros(0)
+            # dw from the path row: C dx - dw = r3  (Hqp_IpSpBKP.C:216)
+            dwg = jnp.asarray(
+                np.where(mg, np.asarray(qp.matvec_ineq(dx).g) - a3g,
+                         0.0)) if mi else jnp.zeros(0)
+            dz = jtu.tree_unflatten(treedef, [dzg])
+            dw = jtu.tree_unflatten(treedef, [dwg])
+            return dx, dy, dz, dw
+
+        sol = base(r1, r2, r3, r4)
+        dx, dy, dz, dw = sol
+        *_, res = K_.kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
+                                  dx, dy, dz, dw)
+        res = float(res)
+        for _ in range(self.refine_rounds):
+            if res <= self.refine_eps:
+                break
+            e1, e2, e3, e4, _ = K_.kkt_residual(
+                qp, z, w, mask, r1, r2, r3, r4, dx, dy, dz, dw)
+            cx, cy, cz, cw = base(e1, e2, e3, e4)
+            nx_, ny_ = dx + cx, dy + cy
+            nz_, nw_ = mk.add(dz, cz), mk.add(dw, cw)
+            *_, nres = K_.kkt_residual(qp, z, w, mask, r1, r2, r3, r4,
+                                       nx_, ny_, nz_, nw_)
+            if float(nres) >= res:
+                break
+            dx, dy, dz, dw, res = nx_, ny_, nz_, nw_, float(nres)
+        return dx, dy, dz, dw
+
+
+modules.register("qp_mat_solver", "SpBKP")(FullSparseBKPKKT)

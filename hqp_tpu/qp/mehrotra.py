@@ -102,8 +102,11 @@ class Mehrotra:
         #: corrector direction keeps the full gate
         self.cheap_predictor = cheap_predictor
         #: jit=False runs eagerly -- required for host-callback backends
-        #: (SparseHostKKT) whose factorizations live outside XLA
-        self.jit = jit
+        #: (SparseHostKKT) whose factorizations live outside XLA.
+        #: Backends that declare ``eager_only = True`` (SparseHostKKT,
+        #: FullSparseBKPKKT) force it off so a shell/registry user
+        #: selecting them by name cannot hit a tracer crash.
+        self.jit = jit and not getattr(backend, "eager_only", False)
         #: unique-bumped by the shell on in-place knob writes (qp_eps ...)
         #: so mutated instances stop matching stale trace-cache entries
         self._trace_nonce = 0
@@ -138,6 +141,8 @@ class Mehrotra:
         import copy
         new = copy.copy(self)
         new.backend = backend
+        if getattr(backend, "eager_only", False):
+            new.jit = False
         return new
 
     def _cond(self, pred, tfn, ffn):
