@@ -180,9 +180,90 @@ class Gerschgorin(HL):
 
 @modules.register("sqp_hela", "SparseBFGS")
 class SparseBFGS(BFGS):
-    """Partitioned BFGS over permuted diagonal blocks
-    (Hqp_HL_SparseBFGS.C).  With the explicit stage-block Hessian layout the
-    partition is already the natural one, so this coincides with BFGS."""
+    """Partitioned BFGS over sparsity-discovered diagonal blocks
+    (Hqp_HL_SparseBFGS.C): RCM-permute the Hessian sparsity pattern
+    (setup, Hqp_HL_SparseBFGS.C:70-113, sp_symrcm), split the permuted
+    pattern into its connected contiguous diagonal blocks (next_block,
+    Hqp_HL_SparseBFGS.C:255-276), and run the Powell-damped BFGS update
+    independently on each dense sub-block (update, :216-247), leaving
+    everything outside the blocks exactly zero.
+
+    For stage-structured programs the Hessian arrives pre-partitioned as
+    ``[B, nb, nb]`` stage blocks -- the partition the reference's scan
+    would discover -- so the update delegates to the batched BFGS.  For
+    general NLPs (one dense block, docp/nlp.py) the partition is
+    discovered once from the numeric pattern of the initial Hessian,
+    playing the role of the reference's sparse-Q structure bookkeeping;
+    partially-separable problems then get per-component curvature updates
+    instead of one rank-2 correction smeared across the whole matrix."""
+
+    def __init__(self, pattern_eps: float = 0.0, **kw):
+        super().__init__(**kw)
+        #: entries with |Q_ij| <= pattern_eps count as structural zeros
+        self.pattern_eps = pattern_eps
+        self._perm = None
+        self._inv = None
+        self._blocks = None
+
+    def bind(self, prg, x, y, z):
+        """Discover the partition from the program's exact Lagrangian
+        Hessian pattern when available (the reference reads the pattern
+        from the program-allocated sparse Q, Hqp_HL_SparseBFGS.C:75-78;
+        our dense-QP programs start Q as a scaled identity, so the
+        structural pattern must come from the model itself)."""
+        if self._perm is None and hasattr(prg, "eval_hess_blocks"):
+            Hb = prg.eval_hess_blocks(x, y, z)
+            if Hb.shape[0] == 1:
+                self._discover(Hb[0])
+
+    def _discover(self, Q):
+        """RCM + contiguous-block scan of the symmetric pattern."""
+        import numpy as np
+        import scipy.sparse as sp
+        from hqp_tpu.native import rcm_order
+
+        n = Q.shape[0]
+        A = np.abs(np.asarray(Q)) > self.pattern_eps
+        A = A | A.T
+        np.fill_diagonal(A, True)
+        pat = sp.csr_matrix(A.astype(np.float64))
+        pat.sort_indices()
+        perm = np.asarray(rcm_order(n, pat.indptr, pat.indices))
+        P = pat[perm][:, perm].tocsr()
+        P.sort_indices()
+        blocks = []
+        b = 0
+        while b < n:
+            offs = b
+            end = b
+            while b <= end:
+                row = P.indices[P.indptr[b]:P.indptr[b + 1]]
+                if len(row):
+                    end = max(end, int(row.max()))
+                b += 1
+            blocks.append((offs, end - offs + 1))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n)
+        self._perm, self._inv, self._blocks = perm, inv, blocks
+
+    def update(self, Qb, s_b, u_b, alpha):
+        if Qb.shape[0] != 1:
+            # stage-partitioned layout: the partition is already given
+            return super().update(Qb, s_b, u_b, alpha)
+        Q = Qb[0]
+        if self._perm is None or len(self._perm) != Q.shape[0]:
+            self._discover(Q)
+        perm, inv = self._perm, self._inv
+        Qp = jnp.asarray(Q)[perm][:, perm]
+        sp_ = s_b[0][perm]
+        up_ = u_b[0][perm]
+        out = Qp
+        for offs, size in self._blocks:
+            sl = slice(offs, offs + size)
+            blk = super().update(out[sl, sl][None], sp_[sl][None],
+                                 up_[sl][None], alpha)[0]
+            out = out.at[sl, sl].set(blk)
+        return out[inv][:, inv][None]
 
 
 @modules.register("sqp_hela", "AugBFGS")
