@@ -216,6 +216,34 @@ def _newton_root(res, z0, iters):
     return jax.lax.custom_root(res, z0, newton, tangent_solve)
 
 
+def _newton_root_krylov(res, z0, iters, restart):
+    """Matrix-free Newton-Krylov corrector: the DASPK Krylov option
+    (omu/Omu_IntDASPK.h:112-119 `_krylov`/`_krylov_prec`, DASPK
+    ``info[12]=1``), where corrector linear systems are solved by GMRES
+    with J*v products instead of a dense Jacobian factorization.  Here
+    J*v is an exact ``jax.jvp`` (no finite-difference noise), GMRES is
+    ``jax.scipy.sparse.linalg.gmres``, and sensitivities flow through
+    the implicit function theorem exactly as in :func:`_newton_root` --
+    the tangent solve is itself matrix-free."""
+    import jax.scipy.sparse.linalg as jsl
+
+    def newton(f, z):
+        def it(i, zk):
+            fz = f(zk)
+            mv = (lambda v: jax.jvp(f, (zk,), (v,))[1])
+            dz, _ = jsl.gmres(mv, fz, restart=restart, maxiter=2,
+                              tol=0.0, atol=0.0)
+            return zk - dz
+        return jax.lax.fori_loop(0, iters, it, z)
+
+    def tangent_solve(g, y):
+        sol, _ = jsl.gmres(g, y, restart=restart, maxiter=2,
+                           tol=0.0, atol=0.0)
+        return sol
+
+    return jax.lax.custom_root(res, z0, newton, tangent_solve)
+
+
 @modules.register("prg_integrator", "IMP")
 class IMP(Integrator):
     """Implicit midpoint rule with Newton solve (omu/Omu_IntIMP.C);
@@ -420,7 +448,8 @@ class BDF(Integrator):
     corrector) is replaced by implicit-function-theorem differentiation
     of the Newton solve via lax.custom_root."""
 
-    def __init__(self, newton_iters: int = 8, order: int = 2, **kw):
+    def __init__(self, newton_iters: int = 8, order: int = 2,
+                 krylov: bool = False, krylov_restart: int = 20, **kw):
         # DASPK is an adaptive multistep code; a single fixed step per
         # sample period would degrade to implicit Euler, so default to a
         # few substeps.
@@ -428,6 +457,12 @@ class BDF(Integrator):
         super().__init__(**kw)
         self.newton_iters = newton_iters
         self.order = order
+        #: DASPK ``info[12]=1``: matrix-free GMRES corrector instead of
+        #: the dense Jacobian solve -- inherited by BDFAdaptive and
+        #: BDFVarOrder exactly as DASPK's Krylov switch is orthogonal
+        #: to its order/step selection (Omu_IntDASPK.h:112-119)
+        self.krylov = krylov
+        self.krylov_restart = krylov_restart
 
     def _implicit_step(self, F, kk, t_next, x_pred, a0_h, hist):
         """Solve F(t, x, u_, (a0*x - hist)/h) = 0 for x."""
@@ -435,6 +470,9 @@ class BDF(Integrator):
         def res(xn):
             return F(kk, t_next, xn, self._u, a0_h * xn - hist)
 
+        if self.krylov:
+            return _newton_root_krylov(res, x_pred, self.newton_iters,
+                                       self.krylov_restart)
         return _newton_root(res, x_pred, self.newton_iters)
 
     def solve(self, F, kk, t0, t1, x, u):

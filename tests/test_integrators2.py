@@ -136,3 +136,44 @@ def test_sdirk_in_optimization():
     s2.init()
     s2.solve()
     np.testing.assert_allclose(float(s.f), float(s2.f), rtol=1e-6)
+
+
+def test_bdf_krylov_matches_direct():
+    """DASPK Krylov option (Omu_IntDASPK.h:112-119, info[12]=1): the
+    matrix-free GMRES corrector reproduces the dense-Jacobian Newton
+    corrector on the same grid to tight tolerance."""
+    xd = BDF(steps=32).solve(_osc, 0, 0.0, 1.0, X0, U)
+    xk = BDF(steps=32, krylov=True).solve(_osc, 0, 0.0, 1.0, X0, U)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xd),
+                               atol=1e-9)
+
+
+def test_bdf_krylov_stiff_and_sensitivities():
+    """Krylov corrector handles the stiff relaxation and stays
+    differentiable through the implicit function theorem."""
+    def stiff(kk, t, x, u, dx):
+        return jnp.array([-1000.0 * (x[0] - jnp.cos(t)) - dx[0]])
+
+    xf = BDF(steps=20, krylov=True).solve(stiff, 0, 0.0, 1.0,
+                                          jnp.array([0.0]), U)
+    assert abs(float(xf[0]) - np.cos(1.0)) < 2e-2
+
+    def flow(x0):
+        return BDF(steps=32, krylov=True).solve(_osc, 0, 0.0, 1.0, x0, U)
+
+    J = jax.jacfwd(flow)(X0)
+    t = 1.0
+    Jex = np.array([[np.cos(t), np.sin(t)], [-np.sin(t), np.cos(t)]])
+    np.testing.assert_allclose(np.asarray(J), Jex, atol=5e-3)
+
+
+def test_bdf_varorder_inherits_krylov():
+    """The Krylov switch is orthogonal to order/step selection, like
+    DASPK's: BDFVarOrder(krylov=True) matches its direct variant."""
+    from hqp_tpu.omu.integrators import BDFVarOrder
+    xd = BDFVarOrder(rtol=1e-7, atol=1e-12).solve(
+        _osc, 0, 0.0, 1.0, X0, U)
+    xk = BDFVarOrder(rtol=1e-7, atol=1e-12, krylov=True).solve(
+        _osc, 0, 0.0, 1.0, X0, U)
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(xd),
+                               atol=1e-7)
