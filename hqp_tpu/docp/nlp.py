@@ -112,6 +112,7 @@ class Nlp:
              if self.m else jnp.zeros((0, self.n)))
         return g, J
 
+    @partial(jax.jit, static_argnums=0)
     def _rows(self, x, cv, J):
         """Assemble equality/inequality rows from values + Jacobian."""
         n = self.n
@@ -170,6 +171,7 @@ class Nlp:
         A, b, C, d = self._rows(x, cv, J)
         return g - A.T @ y - C.T @ z.g
 
+    @partial(jax.jit, static_argnums=0)
     def eval_hess_blocks(self, x, y, z):
         """Exact Lagrangian Hessian (one block).  Variable-bound rows have
         zero curvature, so only c-rows contribute."""

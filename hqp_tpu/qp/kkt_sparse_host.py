@@ -151,6 +151,7 @@ class SparseCallbackKKT:
         self._sym = {}       # (n, me) -> symbolic record
         self._token = 0
         self._live = {}      # token -> SparseLDL (keep last 2)
+        self._prep = None    # host-pinned (Qs, Cs, As) for this solve
 
     # value-based identity (jit static-arg contract; see PartitionedKKT)
     def _config(self):
@@ -199,16 +200,40 @@ class SparseCallbackKKT:
         self._sym[key] = rec
         return rec
 
+    def prepare(self, qp):
+        """Pin the loop-invariant problem data host-side, once per IP
+        solve (called by Mehrotra.solve with the concrete qp): the
+        per-iteration factor callback then ships only the barrier
+        diagonal sig (O(mi)) instead of Q/C/A (O(n^2)) -- the
+        structure-once-per-problem discipline extended to the data
+        transfer (Hqp_IpRedSpBKP.C:281 keeps its sparse views alive
+        across iterations the same way)."""
+        A = np.asarray(qp.A) * np.asarray(qp.eq_mask_)[:, None]
+        self._prep = dict(
+            Qs=sp.csr_matrix(np.asarray(qp.Q)),
+            Cs=sp.csr_matrix(np.asarray(qp.C)),
+            As=sp.csr_matrix(A),
+            n=qp.n, me=qp.me)
+
+    def _host_factor_sig(self, sig):
+        """Factor callback: barrier diagonal only (prepare() pinned the
+        rest)."""
+        p = self._prep
+        return self._host_factor_from(p["Qs"], p["Cs"], p["As"],
+                                      p["n"], p["me"], sig)
+
     def _host_factor(self, Q, C, A, sig):
         n, me = Q.shape[0], A.shape[0]
+        return self._host_factor_from(
+            sp.csr_matrix(Q), sp.csr_matrix(C), sp.csr_matrix(A),
+            n, me, sig)
+
+    def _host_factor_from(self, Qs, Cs, As, n, me, sig):
         key = (n, me)
-        Qs = sp.csr_matrix(Q)
-        Cs = sp.csr_matrix(C)
         H = (Qs + Cs.T @ sp.diags([np.asarray(sig).ravel()], [0],
-                                  shape=(C.shape[0], C.shape[0])) @ Cs
+                                  shape=(Cs.shape[0], Cs.shape[0])) @ Cs
              ).tocsr()
         if me:
-            As = sp.csr_matrix(A)
             Knum = sp.bmat([[-H, As.T], [As, self.dual_reg * sp.eye(me)]],
                            format="csr")
         else:
@@ -271,6 +296,15 @@ class SparseCallbackKKT:
     def factor(self, qp: DenseQP, z, w, mask):
         import jax
         sig = K_.barrier_ratios(z, w, mask).g
+        if self._prep is not None:
+            # prepare() pinned Q/C/A host-side: ship only the barrier
+            # diagonal.  NOTE: participates in the value-based hash via
+            # id(self) -- a prepared and an unprepared instance never
+            # share a trace, so the branch is trace-consistent.
+            token = jax.pure_callback(
+                self._host_factor_sig,
+                jax.ShapeDtypeStruct((), jnp.int64), sig)
+            return token
         A = qp.A * qp.eq_mask_[:, None].astype(qp.A.dtype)
         token = jax.pure_callback(
             self._host_factor,

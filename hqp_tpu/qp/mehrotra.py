@@ -579,6 +579,12 @@ class Mehrotra:
 
         The iteration runs on device (:meth:`_solve_loop`); only the
         rare hot-start fallback decision crosses back to the host."""
+        if hasattr(self.backend, "prepare"):
+            # host-callback backends pin the loop-invariant problem data
+            # (Q, C, A) host-side ONCE per solve; the per-iteration factor
+            # callback then ships only the barrier diagonal instead of
+            # re-transferring ~O(n^2) matrices every iteration
+            self.backend.prepare(qp)
         if not self.jit:
             return self._solve_host(qp, state, hot)
         fail_iters = 0
