@@ -160,3 +160,14 @@ def lu_nopiv_solve(M, b):
 def solve_nopiv(A, b):
     """Solve general small A x = b by unrolled pivot-free LU."""
     return lu_nopiv_solve(lu_nopiv(A), b)
+
+
+def inv_nopiv(A):
+    """Inverse of small matrices by unrolled pivot-free LU, as pure jnp
+    ops -- usable where the backend has no f64 LU custom call (TPU: the
+    LuDecomposition op is f32-only, but elementwise/matmul f64 emulation
+    works, so an f64 interior factorization can run on device through
+    this path; see PartitionedKKT factor_dtype)."""
+    n = A.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    return lu_nopiv_solve(lu_nopiv(A), eye)

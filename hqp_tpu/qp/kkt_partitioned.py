@@ -110,7 +110,7 @@ def _inner_rounds():
         else _default_inner_rounds()
 
 
-def _interior_apply(fac0, rho):
+def _interior_apply(fac0, rho, inner=None):
     """MII^-1 rho to f64 accuracy: scaled factor inverse + inner
     refinement carried ENTIRELY in the Ruiz-scaled space.
     rho: [P, s] or [P, s, m].
@@ -138,7 +138,7 @@ def _interior_apply(fac0, rho):
                           r_s.astype(Minv.dtype)).astype(rho.dtype)
 
     t = apply_inv(rho_s)                    # scaled iterate
-    for _ in range(_inner_rounds()):
+    for _ in range(_inner_rounds() if inner is None else inner):
         resid = rho_s - jnp.einsum("pij,pjm->pim", MII_s, t)
         t = t + apply_inv(resid)
     t = Ddc * t                             # back to raw space
@@ -200,7 +200,17 @@ class PartitionedKKT:
                  refine_rounds: int | None = None,
                  dual_reg: float | None = None,
                  reg_corr_rounds: int = 2, master: str | None = None,
-                 gj: str | None = None, refine_relative: bool = True):
+                 gj: str | None = None, refine_relative: bool = True,
+                 factor_dtype: str | None = None):
+        #: factor dtype override: None = resolve by backend (f32 on TPU,
+        #: f64 on CPU, K_.lu_dtype); "f64" forces an f64 factorization
+        #: even on TPU -- the interior inverse then goes through the
+        #: pure-jnp unrolled LU (ops/smalllin.inv_nopiv; the TPU has no
+        #: f64 LU custom call but emulates f64 arithmetic) and the master
+        #: through the f64 CR.  The f64 factor is near-exact, so the
+        #: refine/inner/reg-correction machinery the f32 path needs all
+        #: collapses to entry checks.
+        self.factor_dtype = factor_dtype
         #: refine_relative: scale the refine tolerance by the rhs norm
         #: (K_.refine relative semantics); False = absolute eps
         self.refine_relative = refine_relative
@@ -257,7 +267,30 @@ class PartitionedKKT:
     def _config(self):
         return (type(self), self.L, self.refine_eps, self.refine_rounds,
                 self.dual_reg, self.reg_corr_rounds, self.master,
-                self.gj, self.refine_relative)
+                self.gj, self.refine_relative, self.factor_dtype)
+
+    def _lu(self):
+        """Factor dtype for THIS instance (factor_dtype override or the
+        backend default)."""
+        if self.factor_dtype == "f64":
+            return jnp.float64
+        if self.factor_dtype == "f32":
+            return jnp.float32
+        return K_.lu_dtype()
+
+    def _inner(self):
+        """Inner interior-refinement rounds for this instance's dtype."""
+        if INNER_ROUNDS is not None:
+            return INNER_ROUNDS
+        return 4 if self._lu() == jnp.float32 else 1
+
+    def _master_k(self):
+        """Master kernel resolved by this instance's factor dtype."""
+        if self.master is not None:
+            return self.master
+        if MASTER_KERNEL is not None:
+            return MASTER_KERNEL
+        return "thomas" if self._lu() == jnp.float32 else "cr"
 
     def __hash__(self):
         return hash(self._config())
@@ -269,12 +302,12 @@ class PartitionedKKT:
     def _refine_eps(self):
         if self.refine_eps is not None:
             return self.refine_eps
-        return 3e-7 if K_.lu_dtype() == jnp.float32 else 1e-10
+        return 3e-7 if self._lu() == jnp.float32 else 1e-10
 
     def _refine_rounds(self):
         if self.refine_rounds is not None:
             return self.refine_rounds
-        return 2 if K_.lu_dtype() == jnp.float32 else 4
+        return 2 if self._lu() == jnp.float32 else 4
 
     def with_refine(self, rounds: int):
         """A copy with ``refine_rounds=rounds`` (same factor layout, so
@@ -298,7 +331,7 @@ class PartitionedKKT:
         # contraction rate (~delta * ||M^-1||).  3e-7 keeps q ~ 0.2
         # (inner-convergent) while roughly halving the outer rounds
         # needed vs 1e-6 (measured on the 1000-stage DID KKT).
-        return 3e-7 if K_.lu_dtype() == jnp.float32 else 1e-8
+        return 3e-7 if self._lu() == jnp.float32 else 1e-8
 
     def _choose_L(self, K, nx, nu):
         """A divisor of K close to the requested L, at least ceil(nx/nu)+1
@@ -558,15 +591,22 @@ class PartitionedKKT:
         # the Pallas kernel is f32-only; on f64 backends (CPU) the plain
         # f64 inverse is both exact and supported, so use it there
         use_pallas = (self.gj != "xla"
-                      and K_.lu_dtype() == jnp.float32
+                      and self._lu() == jnp.float32
                       and not _is_batched(MII_s)
                       and gj_pallas.fits_vmem(P, s, 2 * nx))
         if use_pallas:
             Minv, _, _ = gj_pallas.interior_factor(MII_s, MIB_s)
+        elif (self._lu() == jnp.float64
+              and jax.default_backend() == "tpu"
+              and MII_s.shape[-1] <= sl._UNROLL_LIMIT):
+            # TPU has no f64 LU custom call; the unrolled pivot-free LU
+            # is pure jnp (f64-emulation ops) and the Ruiz-scaled
+            # quasidefinite interior is in its stability class
+            Minv = sl.inv_nopiv(MII_s.astype(jnp.float64))
         else:
-            Minv = jnp.linalg.inv(MII_s.astype(K_.lu_dtype()))
+            Minv = jnp.linalg.inv(MII_s.astype(self._lu()))
         fac0 = (Minv, Dd, MII_s)
-        W = _interior_apply(fac0, MIB)
+        W = _interior_apply(fac0, MIB, inner=self._inner())
         return Minv, Dd, MII_s, W
 
     @staticmethod
@@ -612,7 +652,7 @@ class PartitionedKKT:
         # assembled to f64 accuracy or it loses positive definiteness
         Schur = -jnp.einsum("psb,psc->pbc", MIB, W)   # [P, 2nx, 2nx]
         master, dM = self._master_build(Schur, Hb, PKxx, nx,
-                                        kernel=self.master)
+                                        kernel=self._master_k())
         return PartFactors(Minv=Minv, Dscale=Dd, MII=MII_s, W=W, MIB=MIB,
                            master=master, dM=dM, LuuK=LuuK, KgainK=KgainK)
 
@@ -666,13 +706,14 @@ class PartitionedKKT:
 
         # condense interiors onto boundaries (batched MXU matmuls with
         # one f64 inner-refinement round)
-        t = _interior_apply((fac.Minv, fac.Dscale, fac.MII), rhoI)
+        t = _interior_apply((fac.Minv, fac.Dscale, fac.MII), rhoI,
+                            inner=self._inner())
         corr = jnp.einsum("psb,ps->pb", fac.MIB, t)     # [P, 2nx]
         rhoB = rhoB.at[:-1].add(-corr[:, :nx])
         rhoB = rhoB.at[1:].add(-corr[:, nx:])
 
         xB = _master_solve(fac.master, fac.dM, -rhoB, nx,
-                           kernel=self.master)
+                           kernel=self._master_k())
 
         # back-substitute interiors (batched)
         xpair = jnp.concatenate([xB[:-1], xB[1:]], axis=1)   # [P, 2nx]
